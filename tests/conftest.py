@@ -1,0 +1,18 @@
+"""Test config: run everything on a virtual 8-device CPU mesh so sharding
+logic is exercised without TPU hardware (SURVEY.md §4 implication (d)).
+
+The environment preimports jax (sitecustomize) with JAX_PLATFORMS=axon, so
+plain env vars are too late; use jax.config.update before any backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

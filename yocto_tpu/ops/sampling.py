@@ -1,0 +1,155 @@
+"""Batched Monte Carlo sampling primitives.
+
+TPU-native equivalents of the reference sampling library
+(yocto_sampling.h:248-409 in xelatihy/yocto-gl). All functions take random
+numbers explicitly (produced by `ops.rng`) and broadcast over leading axes.
+Discrete CDF sampling is a vectorized `searchsorted` over flat CDF pools so
+light/element picking stays a gather, not a loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .mathops import basis_fromz, cross, length, pif, vec
+
+
+def _dir_from(z, r, phi):
+    return vec(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def _rotate(normal, local_dir):
+    basis = basis_fromz(normal)
+    return jnp.einsum("...i,...ij->...j", local_dir, basis)
+
+
+def sample_hemisphere(ruv, normal=None):
+    z = ruv[..., 1]
+    r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    phi = 2.0 * pif * ruv[..., 0]
+    d = _dir_from(z, r, phi)
+    return d if normal is None else _rotate(normal, d)
+
+
+def sample_hemisphere_pdf(normal, direction):
+    cosw = jnp.sum(normal * direction, axis=-1)
+    return jnp.where(cosw <= 0.0, 0.0, 1.0 / (2.0 * pif))
+
+
+def sample_sphere(ruv):
+    z = 2.0 * ruv[..., 1] - 1.0
+    r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    phi = 2.0 * pif * ruv[..., 0]
+    return _dir_from(z, r, phi)
+
+
+def sample_sphere_pdf():
+    return 1.0 / (4.0 * pif)
+
+
+def sample_hemisphere_cos(ruv, normal=None):
+    z = jnp.sqrt(ruv[..., 1])
+    r = jnp.sqrt(1.0 - z * z)
+    phi = 2.0 * pif * ruv[..., 0]
+    d = _dir_from(z, r, phi)
+    return d if normal is None else _rotate(normal, d)
+
+
+def sample_hemisphere_cos_pdf(normal, direction):
+    cosw = jnp.sum(normal * direction, axis=-1)
+    return jnp.where(cosw <= 0.0, 0.0, cosw / pif)
+
+
+def sample_hemisphere_cospower(exponent, ruv, normal=None):
+    z = jnp.power(ruv[..., 1], 1.0 / (exponent + 1.0))
+    r = jnp.sqrt(1.0 - z * z)
+    phi = 2.0 * pif * ruv[..., 0]
+    d = _dir_from(z, r, phi)
+    return d if normal is None else _rotate(normal, d)
+
+
+def sample_hemisphere_cospower_pdf(exponent, normal, direction):
+    cosw = jnp.sum(normal * direction, axis=-1)
+    return jnp.where(
+        cosw <= 0.0, 0.0,
+        jnp.power(cosw, exponent) * (exponent + 1.0) / (2.0 * pif))
+
+
+def sample_disk(ruv):
+    r = jnp.sqrt(ruv[..., 1])
+    phi = 2.0 * pif * ruv[..., 0]
+    return jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r], axis=-1)
+
+
+def sample_disk_pdf():
+    return 1.0 / pif
+
+
+def sample_cylinder(ruv):
+    phi = 2.0 * pif * ruv[..., 0]
+    return vec(jnp.sin(phi), jnp.cos(phi), ruv[..., 1] * 2.0 - 1.0)
+
+
+def sample_triangle_uv(ruv):
+    s = jnp.sqrt(ruv[..., 0])
+    return jnp.stack([1.0 - s, ruv[..., 1] * s], axis=-1)
+
+
+def sample_triangle(p0, p1, p2, ruv):
+    uv = sample_triangle_uv(ruv)
+    u = uv[..., 0:1]
+    v = uv[..., 1:2]
+    return p0 * (1.0 - u - v) + p1 * u + p2 * v
+
+
+def sample_triangle_pdf(p0, p1, p2):
+    return 2.0 / length(cross(p1 - p0, p2 - p0))
+
+
+def sample_uniform(size, r):
+    idx = (r * size).astype(jnp.int32)
+    return jnp.clip(idx, 0, size - 1)
+
+
+def sample_uniform_pdf(size):
+    return 1.0 / size
+
+
+def sample_discrete(cdf, r, start=None, count=None, total=None):
+    """Sample an index from a (possibly flat-pooled) CDF segment.
+
+    `cdf` is a flat [N] array of inclusive prefix sums. With `start`/`count`
+    (broadcastable int arrays) the search runs inside `cdf[start:start+count]`
+    and returns an index relative to `start`; `total` is the segment's last
+    value (cdf.back()). This mirrors `sample_discrete`
+    (yocto_sampling.h:388-394) but as a fixed-iteration branchless binary
+    search so it vectorizes on TPU.
+    """
+    if start is None:
+        start = jnp.zeros(r.shape if hasattr(r, "shape") else (), jnp.int32)
+        count = cdf.shape[0]
+        total = cdf[-1]
+    r = jnp.clip(r * total, 0.0, total - 1e-5)
+    # branchless binary search for upper_bound within [start, start+count)
+    n = cdf.shape[0]
+    max_steps = max(1, int(jnp.ceil(jnp.log2(max(n, 2)))) + 1)
+    shape = jnp.broadcast_shapes(jnp.shape(r), jnp.shape(start))
+    lo = jnp.broadcast_to(jnp.asarray(start, jnp.int32), shape)
+    hi = jnp.broadcast_to(jnp.asarray(start + count, jnp.int32), shape)
+    for _ in range(max_steps):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        go_right = cdf[jnp.clip(mid, 0, n - 1)] <= r
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    idx = lo - start
+    return jnp.clip(idx, 0, jnp.maximum(count - 1, 0))
+
+
+def sample_discrete_pdf(cdf, idx, start=None):
+    """Unnormalized weight of element idx (cdf delta)."""
+    if start is None:
+        start = 0
+    gidx = start + idx
+    prev = jnp.where(idx == 0, 0.0, cdf[jnp.maximum(gidx - 1, 0)])
+    return cdf[gidx] - prev
