@@ -9,6 +9,8 @@ light/element picking stays a gather, not a loop.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from .mathops import basis_fromz, cross, length, pif, vec
@@ -132,7 +134,7 @@ def sample_discrete(cdf, r, start=None, count=None, total=None):
     r = jnp.clip(r * total, 0.0, total - 1e-5)
     # branchless binary search for upper_bound within [start, start+count)
     n = cdf.shape[0]
-    max_steps = max(1, int(jnp.ceil(jnp.log2(max(n, 2)))) + 1)
+    max_steps = max(1, int(math.ceil(math.log2(max(n, 2)))) + 1)
     shape = jnp.broadcast_shapes(jnp.shape(r), jnp.shape(start))
     lo = jnp.broadcast_to(jnp.asarray(start, jnp.int32), shape)
     hi = jnp.broadcast_to(jnp.asarray(start + count, jnp.int32), shape)

@@ -1,0 +1,138 @@
+"""Batched scene intersection (brute-force reference path).
+
+The correctness-path intersector: every ray is tested against every
+(instance, element) candidate pair in one vectorized sweep — the TPU
+equivalent of looping the reference's primitive intersectors
+(yocto_geometry.h:697-836) over the scene, with the BVH replaced by full
+vectorization. This is the oracle used to validate the BVH traversal and is
+fast enough for Cornell-box-class scenes (R x C elementwise work on the
+VPU). `yocto_tpu.trace.bvh` provides the accelerated path.
+
+Instance transforms may include scale: rays are transformed into instance
+space WITHOUT renormalizing the direction, so the hit parameter t stays a
+world-space distance (same convention as intersect_scene_bvh,
+yocto_bvh.cpp:602).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import geometry as G
+from ..ops import mathops as M
+from .compile import FlatScene, KIND_LINES, KIND_POINTS
+
+RAY_EPS = jnp.float32(1e-4)
+
+
+class SceneIntersection(NamedTuple):
+    hit: jax.Array       # [R] bool
+    instance: jax.Array  # [R] i32
+    element: jax.Array   # [R] i32 (shape-local element index)
+    uv: jax.Array        # [R,2]
+    distance: jax.Array  # [R] f32 (flt_max on miss)
+
+
+def _intersect_element(local_o, local_d, tmin, tmax, p, rads, kind):
+    """Intersect one unified element per lane; p: [...,4,3], rads: [...,4].
+
+    kind selects quad (tris stored as degenerate quads), line, or point.
+    """
+    p0, p1, p2, p3 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+    isec_quad = G.intersect_quad(local_o, local_d, tmin, tmax, p0, p1, p2, p3)
+    isec_line = G.intersect_line(local_o, local_d, tmin, tmax, p0, p1,
+                                 rads[..., 0], rads[..., 1])
+    isec_pt = G.intersect_point(local_o, local_d, tmin, tmax, p0,
+                                rads[..., 0])
+    is_line = kind == KIND_LINES
+    is_pt = kind == KIND_POINTS
+    hit = jnp.where(is_line, isec_line.hit,
+                    jnp.where(is_pt, isec_pt.hit, isec_quad.hit))
+    uv = jnp.where(is_line[..., None], isec_line.uv,
+                   jnp.where(is_pt[..., None], isec_pt.uv, isec_quad.uv))
+    dist = jnp.where(is_line, isec_line.dist,
+                     jnp.where(is_pt, isec_pt.dist, isec_quad.dist))
+    return hit, uv, dist
+
+
+def intersect_scene_bruteforce(scene: FlatScene, ro, rd,
+                               tmin=RAY_EPS, tmax=M.flt_max
+                               ) -> SceneIntersection:
+    """Closest hit over all candidates; ro/rd: [R,3]."""
+    frames = scene.inst_frame[scene.cand_inst]      # [C,4,3]
+    verts = scene.elements[scene.cand_elem]         # [C,4]
+    p = scene.positions[verts]                      # [C,4,3]
+    rads = scene.radius[verts]                      # [C,4]
+    shape = scene.inst_shape[scene.cand_inst]
+    kind = scene.shape_kind[shape]                  # [C]
+
+    local_o = M.transform_point_inverse(frames[None], ro[:, None])  # [R,C,3]
+    local_d = M.transform_vector_inverse(frames[None], rd[:, None])
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
+                              local_o.shape[:-1])
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
+                              local_o.shape[:-1])
+
+    hit, uv, dist = _intersect_element(
+        local_o, local_d, tmin_b, tmax_b, p[None], rads[None], kind[None])
+
+    best = jnp.argmin(dist, axis=-1)                # [R]
+    best_hit = jnp.take_along_axis(hit, best[:, None], axis=1)[:, 0]
+    best_uv = jnp.take_along_axis(
+        uv, best[:, None, None], axis=1)[:, 0]
+    best_dist = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    inst = scene.cand_inst[best]
+    gelem = scene.cand_elem[best]
+    # convert to shape-local element index (reference reports local ids)
+    elem_local = gelem - scene.shape_elem_start[scene.inst_shape[inst]]
+    return SceneIntersection(
+        hit=best_hit,
+        instance=jnp.where(best_hit, inst, -1),
+        element=jnp.where(best_hit, elem_local, -1),
+        uv=jnp.where(best_hit[..., None], best_uv, 0.0),
+        distance=jnp.where(best_hit, best_dist, M.flt_max))
+
+
+def intersect_instance_elements(scene: FlatScene, instance, ro, rd,
+                                max_elems: int, tmin=RAY_EPS,
+                                tmax=M.flt_max) -> SceneIntersection:
+    """Closest hit against a single instance per lane.
+
+    `instance`: [R] i32 (may differ per lane); `max_elems` is a static upper
+    bound on the instance's element count (host-computed). Used by the
+    light-pdf walk (yocto_trace.cpp:400-415 equivalent).
+    """
+    shape = scene.inst_shape[instance]
+    start = scene.shape_elem_start[shape]           # [R]
+    count = scene.shape_elem_count[shape]           # [R]
+    kind = scene.shape_kind[shape]                  # [R]
+    frames = scene.inst_frame[instance]             # [R,4,3]
+    local_o = M.transform_point_inverse(frames, ro)
+    local_d = M.transform_vector_inverse(frames, rd)
+
+    ks = jnp.arange(max_elems, dtype=jnp.int32)     # [K]
+    gelem = start[:, None] + jnp.minimum(ks[None, :], count[:, None] - 1)
+    valid = ks[None, :] < count[:, None]            # [R,K]
+    verts = scene.elements[gelem]                   # [R,K,4]
+    p = scene.positions[verts]                      # [R,K,4,3]
+    rads = scene.radius[verts]
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), gelem.shape)
+    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), gelem.shape)
+    hit, uv, dist = _intersect_element(
+        local_o[:, None], local_d[:, None], tmin_b, tmax_b, p, rads,
+        kind[:, None])
+    hit = hit & valid
+    dist = jnp.where(hit, dist, M.flt_max)
+    best = jnp.argmin(dist, axis=-1)
+    best_hit = jnp.take_along_axis(hit, best[:, None], axis=1)[:, 0]
+    best_uv = jnp.take_along_axis(uv, best[:, None, None], axis=1)[:, 0]
+    best_dist = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    return SceneIntersection(
+        hit=best_hit,
+        instance=jnp.where(best_hit, instance, -1),
+        element=jnp.where(best_hit, best, -1),
+        uv=jnp.where(best_hit[..., None], best_uv, 0.0),
+        distance=jnp.where(best_hit, best_dist, M.flt_max))

@@ -1,0 +1,762 @@
+"""Wavefront path-tracing samplers.
+
+The TPU redesign of the reference's recursive per-pixel samplers
+(yocto_trace.cpp:453-1419): instead of one thread per pixel running a
+divergent loop (CPU) or a megakernel (CUDA), ALL rays advance together
+through a masked `lax.while_loop` — each iteration intersects the whole
+ray batch, shades it branch-free, and lanes die off under their own masks.
+Random draws use `rand*_if` so every pixel consumes exactly the per-pixel
+PCG32 stream the reference would (draw sites are guarded by the same
+conditions as the reference's control flow), which keeps images comparable
+at equal sample counts.
+
+Samplers implemented here: path (MIS-lite 50/50 one-sample), naive
+(BSDF only), eyelight, falsecolor AOVs, plus furnace. The `pathdirect` and
+`pathmis` variants reuse the same scaffolding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mathops as M
+from ..ops import rng as R
+from ..ops import sampling as SMP
+from ..ops import shading as SH
+from . import bsdf as B
+from .compile import FlatScene
+from .intersect import intersect_scene_bruteforce
+from .lights import (FlatLights, LightsMeta, sample_lights,
+                     sample_lights_pdf)
+from .params import FalsecolorType, SamplerType, TraceParams
+from .sceneval import (MaterialPoint, eval_element_normal, eval_environment,
+                       eval_material, eval_normal, eval_shading_normal,
+                       eval_shading_position, eval_texcoord, is_delta_point,
+                       is_volumetric_instance)
+
+VOLUME_STACK_CAP = 4  # the CUDA reference uses a fixed svector too
+
+
+class PathState(NamedTuple):
+    ro: jax.Array
+    rd: jax.Array
+    radiance: jax.Array
+    weight: jax.Array
+    alive: jax.Array
+    bounce: jax.Array      # per-lane bounce counter (i32)
+    opbounce: jax.Array
+    rng: R.RngState
+    vol_density: jax.Array     # [R,CAP,3]
+    vol_scattering: jax.Array  # [R,CAP,3]
+    vol_aniso: jax.Array       # [R,CAP]
+    vol_depth: jax.Array       # [R] i32
+    max_roughness: jax.Array
+    hit: jax.Array
+    hit_albedo: jax.Array
+    hit_normal: jax.Array
+    it: jax.Array          # scalar iteration counter
+
+
+def _init_state(ro, rd, rngs) -> PathState:
+    Rn = ro.shape[0]
+    z3 = jnp.zeros((Rn, 3), jnp.float32)
+    return PathState(
+        ro=ro, rd=rd, radiance=z3, weight=jnp.ones((Rn, 3), jnp.float32),
+        alive=jnp.ones(Rn, bool),
+        bounce=jnp.zeros(Rn, jnp.int32), opbounce=jnp.zeros(Rn, jnp.int32),
+        rng=rngs,
+        vol_density=jnp.zeros((Rn, VOLUME_STACK_CAP, 3), jnp.float32),
+        vol_scattering=jnp.zeros((Rn, VOLUME_STACK_CAP, 3), jnp.float32),
+        vol_aniso=jnp.zeros((Rn, VOLUME_STACK_CAP), jnp.float32),
+        vol_depth=jnp.zeros(Rn, jnp.int32),
+        max_roughness=jnp.zeros(Rn, jnp.float32),
+        hit=jnp.zeros(Rn, bool), hit_albedo=z3, hit_normal=z3,
+        it=jnp.zeros((), jnp.int32))
+
+
+def _where3(c, a, b):
+    return jnp.where(c[..., None], a, b)
+
+
+def _vol_top(st: PathState):
+    idx = jnp.maximum(st.vol_depth - 1, 0)
+    take = lambda a: jnp.take_along_axis(
+        a, idx[:, None, None] if a.ndim == 3 else idx[:, None],
+        axis=1)[:, 0]
+    return take(st.vol_density), take(st.vol_scattering), take(st.vol_aniso)
+
+
+def _vol_push(st: PathState, cond, density, scattering, aniso):
+    slot = jnp.minimum(st.vol_depth, VOLUME_STACK_CAP - 1)
+    oh = jax.nn.one_hot(slot, VOLUME_STACK_CAP, dtype=bool) & cond[:, None]
+    vol_density = jnp.where(oh[..., None], density[:, None, :],
+                            st.vol_density)
+    vol_scattering = jnp.where(oh[..., None], scattering[:, None, :],
+                               st.vol_scattering)
+    vol_aniso = jnp.where(oh, aniso[:, None], st.vol_aniso)
+    vol_depth = jnp.where(cond, jnp.minimum(
+        st.vol_depth + 1, VOLUME_STACK_CAP), st.vol_depth)
+    return st._replace(vol_density=vol_density,
+                       vol_scattering=vol_scattering,
+                       vol_aniso=vol_aniso, vol_depth=vol_depth)
+
+
+def _vol_pop(st: PathState, cond):
+    return st._replace(
+        vol_depth=jnp.where(cond, jnp.maximum(st.vol_depth - 1, 0),
+                            st.vol_depth))
+
+
+def make_path_sampler(scene: FlatScene, lights: FlatLights,
+                      meta: LightsMeta, params: TraceParams,
+                      intersect_fn):
+    """Build the `trace_path` step (yocto_trace.cpp:453-596 semantics)."""
+
+    envhidden = params.envhidden
+    has_env = scene.env_frame.shape[0] > 0
+    has_lights = meta.n_lights > 0
+    max_iters = params.bounces + 130
+
+    def body(st: PathState) -> PathState:
+        isec = intersect_fn(scene, st.ro, st.rd)
+        act = st.alive
+        hit_l = act & isec.hit
+
+        # --- miss: environment, then terminate
+        miss = act & ~isec.hit
+        if has_env:
+            env_ok = miss & ((st.bounce > 0) | (not envhidden))
+            env = eval_environment(scene, st.rd)
+            radiance = _where3(env_ok, st.radiance + st.weight * env,
+                               st.radiance)
+        else:
+            radiance = st.radiance
+        alive = act & isec.hit
+        st = st._replace(radiance=radiance, alive=alive)
+
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+
+        # --- volume transmittance (only lanes inside a volume)
+        in_stack = hit_l & (st.vol_depth > 0)
+        # gcc evaluates sample_transmittance's args right-to-left: the
+        # distance rand (rd) is drawn before the channel rand (rl)
+        r_tr2, rng = R.rand1f_if(st.rng, in_stack)
+        r_tr1, rng = R.rand1f_if(rng, in_stack)
+        top_density, top_scat, top_aniso = _vol_top(st)
+        tdist = SH.sample_transmittance(top_density, isec.distance,
+                                        r_tr1, r_tr2)
+        trans = SH.eval_transmittance(top_density, tdist)
+        tpdf = SH.sample_transmittance_pdf(top_density, tdist,
+                                           isec.distance)
+        safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+        weight = _where3(in_stack, st.weight * trans / safe_tpdf, st.weight)
+        in_volume = in_stack & (tdist < isec.distance)
+        st = st._replace(weight=weight, rng=rng)
+
+        # ====================================================================
+        # Surface branch
+        # ====================================================================
+        surf = hit_l & ~in_volume
+        outgoing = -st.rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        material = eval_material(scene, inst, gelem, isec.uv)
+
+        if params.nocaustics:
+            max_roughness = jnp.where(
+                surf, jnp.maximum(material.roughness, st.max_roughness),
+                st.max_roughness)
+            material = material._replace(
+                roughness=jnp.where(surf, max_roughness, material.roughness))
+            st = st._replace(max_roughness=max_roughness)
+
+        # --- opacity passthrough (yocto_trace.cpp:505-510)
+        op_lt1 = surf & (material.opacity < 1.0)
+        r_op, rng = R.rand1f_if(st.rng, op_lt1)
+        op_skip = op_lt1 & (r_op >= material.opacity)
+        op_die = op_skip & (st.opbounce > 128)
+        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+        alive = st.alive & ~op_die
+        shade = surf & ~op_skip
+        st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+
+        # --- first-hit AOVs
+        first = shade & (st.bounce == 0)
+        st = st._replace(
+            hit=st.hit | first,
+            hit_albedo=_where3(first, material.color, st.hit_albedo),
+            hit_normal=_where3(first, normal, st.hit_normal))
+
+        # --- emission
+        emis = B.eval_emission(material, normal, outgoing)
+        st = st._replace(radiance=_where3(
+            shade, st.radiance + st.weight * emis, st.radiance))
+
+        # --- next direction
+        delta = is_delta_point(material)
+        nd = shade & ~delta
+        r_choice, rng = R.rand1f_if(st.rng, nd)
+        use_bsdf = r_choice < 0.5
+        # right-to-left arg order: the 2d pair precedes the lobe rand
+        rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
+        rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
+        inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        if has_lights:
+            # right-to-left arg order: ruv, then rel, then rl
+            ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
+            rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            inc_light = sample_lights(scene, lights, meta, position,
+                                      rl, rel, ruv)
+            incoming_nd = _where3(use_bsdf, inc_bsdf, inc_light)
+        else:
+            incoming_nd = inc_bsdf
+        nd_zero = nd & jnp.all(incoming_nd == 0.0, axis=-1)
+        nd_ok = nd & ~nd_zero
+        f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd)
+        pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd)
+        if has_lights:
+            pdf_l = sample_lights_pdf(scene, lights, meta, position,
+                                      incoming_nd)
+            pdf_nd = 0.5 * pdf_b + 0.5 * pdf_l
+        else:
+            pdf_nd = 0.5 * pdf_b
+        safe_pdf_nd = jnp.where(pdf_nd == 0.0, 1.0, pdf_nd)[..., None]
+        weight = _where3(nd_ok, st.weight * f_nd / safe_pdf_nd, st.weight)
+
+        # delta branch
+        dl = shade & delta
+        r_delta, rng = R.rand1f_if(rng, dl)
+        inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
+        dl_zero = dl & jnp.all(inc_delta == 0.0, axis=-1)
+        dl_ok = dl & ~dl_zero
+        f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
+        pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
+        safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+        weight = _where3(dl_ok, weight * f_dl / safe_pdf_dl, weight)
+
+        incoming = _where3(delta, inc_delta, incoming_nd)
+        alive = st.alive & ~(nd_zero | dl_zero)
+        st = st._replace(weight=weight, rng=rng, alive=alive)
+
+        # --- volume stack update (yocto_trace.cpp:544-553)
+        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
+        vol_change = shade & alive & crossed \
+            & is_volumetric_instance(scene, inst)
+        push = vol_change & (st.vol_depth == 0)
+        pop = vol_change & (st.vol_depth > 0)
+        st = _vol_push(st, push, material.density, material.scattering,
+                       material.scanisotropy)
+        st = _vol_pop(st, pop)
+
+        # --- next ray (surface lanes)
+        ro = _where3(shade, position, st.ro)
+        rd = _where3(shade, incoming, st.rd)
+        # opacity passthrough ray
+        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        st = st._replace(ro=ro, rd=rd)
+
+        # ====================================================================
+        # Volume interaction branch (yocto_trace.cpp:556-583)
+        # ====================================================================
+        vol = hit_l & in_volume & st.alive
+        position_v = st.ro + st.rd * tdist[..., None]
+        outgoing_v = -st.rd
+        r_choice_v, rng = R.rand1f_if(st.rng, vol)
+        use_scat = r_choice_v < 0.5
+        rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+        rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+        inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+        if has_lights:
+            ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+            rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+            rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+            inc_light_v = sample_lights(scene, lights, meta, position_v,
+                                        rl_v, rel_v, ruv_v)
+            incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+        else:
+            incoming_v = inc_scat
+        v_zero = vol & jnp.all(incoming_v == 0.0, axis=-1)
+        v_ok = vol & ~v_zero
+        f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                outgoing_v, incoming_v)
+        pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                         outgoing_v, incoming_v)
+        if has_lights:
+            pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
+                                       incoming_v)
+            pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+        else:
+            pdf_v = 0.5 * pdf_vs
+        safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+        weight = _where3(v_ok, st.weight * f_v / safe_pdf_v, st.weight)
+        alive = st.alive & ~v_zero
+        ro = _where3(v_ok, position_v, st.ro)
+        rd = _where3(v_ok, incoming_v, st.rd)
+        st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd, rng=rng)
+
+        # ====================================================================
+        # Weight check + Russian roulette (applies to shaded/volume lanes)
+        # ====================================================================
+        processed = (shade | vol) & st.alive
+        wzero = jnp.all(st.weight == 0.0, axis=-1)
+        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        alive = st.alive & ~(processed & (wzero | wbad))
+        st = st._replace(alive=alive)
+
+        rr = processed & st.alive & (st.bounce > 3)
+        rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(st.weight))
+        r_rr, rng = R.rand1f_if(st.rng, rr)
+        rr_die = rr & (r_rr >= rr_prob)
+        safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+        weight = _where3(rr & ~rr_die, st.weight / safe_rr[..., None],
+                         st.weight)
+        alive = st.alive & ~rr_die
+        st = st._replace(weight=weight, alive=alive, rng=rng)
+
+        # --- bounce accounting: op_skip lanes do not consume a bounce
+        consumed = (shade | vol) & st.alive
+        bounce = jnp.where(consumed, st.bounce + 1, st.bounce)
+        alive = st.alive & jnp.where(
+            shade | vol | op_skip,
+            jnp.where(op_skip, True, bounce < params.bounces),
+            st.alive)
+        st = st._replace(bounce=bounce, alive=alive,
+                         it=st.it + 1)
+        return st
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.it < max_iters)
+
+    def run(ro, rd, rngs):
+        st = jax.lax.while_loop(cond, body, _init_state(ro, rd, rngs))
+        radiance = st.radiance
+        return (radiance, st.hit, st.hit_albedo, st.hit_normal, st.rng)
+
+    return run
+
+
+def make_naive_sampler(scene: FlatScene, lights: FlatLights,
+                       meta: LightsMeta, params: TraceParams, intersect_fn):
+    """`trace_naive` (yocto_trace.cpp:1032-1108): BSDF sampling only."""
+
+    envhidden = params.envhidden
+    has_env = scene.env_frame.shape[0] > 0
+    max_iters = params.bounces + 130
+
+    def body(st: PathState) -> PathState:
+        isec = intersect_fn(scene, st.ro, st.rd)
+        act = st.alive
+        miss = act & ~isec.hit
+        if has_env:
+            env_ok = miss & ((st.bounce > 0) | (not envhidden))
+            env = eval_environment(scene, st.rd)
+            st = st._replace(radiance=_where3(
+                env_ok, st.radiance + st.weight * env, st.radiance))
+        st = st._replace(alive=act & isec.hit)
+        hit_l = act & isec.hit
+
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        outgoing = -st.rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        material = eval_material(scene, inst, gelem, isec.uv)
+
+        op_lt1 = hit_l & (material.opacity < 1.0)
+        r_op, rng = R.rand1f_if(st.rng, op_lt1)
+        op_skip = op_lt1 & (r_op >= material.opacity)
+        op_die = op_skip & (st.opbounce > 128)
+        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+        shade = hit_l & ~op_skip
+        st = st._replace(rng=rng, opbounce=opbounce,
+                         alive=st.alive & ~op_die)
+
+        first = shade & (st.bounce == 0)
+        st = st._replace(
+            hit=st.hit | first,
+            hit_albedo=_where3(first, material.color, st.hit_albedo),
+            hit_normal=_where3(first, normal, st.hit_normal))
+
+        emis = B.eval_emission(material, normal, outgoing)
+        st = st._replace(radiance=_where3(
+            shade, st.radiance + st.weight * emis, st.radiance))
+
+        rough = shade & (material.roughness != 0.0)
+        rn2, rng = R.rand2f_if(st.rng, rough)
+        rnl, rng = R.rand1f_if(rng, rough)
+        inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        r_zero = rough & jnp.all(inc_r == 0.0, axis=-1)
+        f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r)
+        pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r)
+        safe_r = jnp.where(pdf_r == 0.0, 1.0, pdf_r)[..., None]
+        weight = _where3(rough & ~r_zero, st.weight * f_r / safe_r,
+                         st.weight)
+
+        dl = shade & (material.roughness == 0.0)
+        r_d, rng = R.rand1f_if(rng, dl)
+        inc_d = B.sample_delta(material, normal, outgoing, r_d)
+        d_zero = dl & jnp.all(inc_d == 0.0, axis=-1)
+        f_d = B.eval_delta(material, normal, outgoing, inc_d)
+        pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
+        safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+        weight = _where3(dl & ~d_zero, weight * f_d / safe_d, weight)
+
+        incoming = _where3(material.roughness != 0.0, inc_r, inc_d)
+        alive = st.alive & ~(r_zero | d_zero)
+        st = st._replace(weight=weight, alive=alive, rng=rng)
+
+        processed = shade & st.alive
+        wzero = jnp.all(st.weight == 0.0, axis=-1)
+        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        st = st._replace(alive=st.alive & ~(processed & (wzero | wbad)))
+
+        rr = processed & st.alive & (st.bounce > 3)
+        rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(st.weight))
+        r_rr, rng = R.rand1f_if(st.rng, rr)
+        rr_die = rr & (r_rr >= rr_prob)
+        safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+        st = st._replace(
+            weight=_where3(rr & ~rr_die, st.weight / safe_rr[..., None],
+                           st.weight),
+            alive=st.alive & ~rr_die, rng=rng)
+
+        ro = _where3(shade & st.alive, position, st.ro)
+        rd = _where3(shade & st.alive, incoming, st.rd)
+        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        bounce = jnp.where(shade & st.alive, st.bounce + 1, st.bounce)
+        alive = st.alive & (op_skip | (bounce < params.bounces)) \
+            & (shade | op_skip)
+        st = st._replace(ro=ro, rd=rd, bounce=bounce, alive=alive,
+                         it=st.it + 1)
+        return st
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.it < max_iters)
+
+    def run(ro, rd, rngs):
+        st = jax.lax.while_loop(cond, body, _init_state(ro, rd, rngs))
+        return (st.radiance, st.hit, st.hit_albedo, st.hit_normal, st.rng)
+
+    return run
+
+
+def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
+                          meta: LightsMeta, params: TraceParams,
+                          intersect_fn):
+    """`trace_eyelight` (yocto_trace.cpp:1111-1176)."""
+
+    envhidden = params.envhidden
+    has_env = scene.env_frame.shape[0] > 0
+    bounces = max(params.bounces, 4)
+    max_iters = bounces + 130
+
+    def body(st: PathState) -> PathState:
+        isec = intersect_fn(scene, st.ro, st.rd)
+        act = st.alive
+        miss = act & ~isec.hit
+        if has_env:
+            env_ok = miss & ((st.bounce > 0) | (not envhidden))
+            env = eval_environment(scene, st.rd)
+            st = st._replace(radiance=_where3(
+                env_ok, st.radiance + st.weight * env, st.radiance))
+        st = st._replace(alive=act & isec.hit)
+        hit_l = act & isec.hit
+
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        outgoing = -st.rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        material = eval_material(scene, inst, gelem, isec.uv)
+
+        op_lt1 = hit_l & (material.opacity < 1.0)
+        r_op, rng = R.rand1f_if(st.rng, op_lt1)
+        op_skip = op_lt1 & (r_op >= material.opacity)
+        op_die = op_skip & (st.opbounce > 128)
+        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+        shade = hit_l & ~op_skip
+        st = st._replace(rng=rng, opbounce=opbounce,
+                         alive=st.alive & ~op_die)
+
+        first = shade & (st.bounce == 0)
+        st = st._replace(
+            hit=st.hit | first,
+            hit_albedo=_where3(first, material.color, st.hit_albedo),
+            hit_normal=_where3(first, normal, st.hit_normal))
+
+        incoming = outgoing
+        emis = B.eval_emission(material, normal, outgoing)
+        fcos = B.eval_bsdfcos(material, normal, outgoing, incoming)
+        st = st._replace(radiance=_where3(
+            shade, st.radiance + st.weight * (emis + M.pif * fcos),
+            st.radiance))
+
+        delta = is_delta_point(material)
+        cont = shade & delta
+        r_d, rng = R.rand1f_if(st.rng, cont)
+        inc_d = B.sample_delta(material, normal, outgoing, r_d)
+        d_zero = cont & jnp.all(inc_d == 0.0, axis=-1)
+        f_d = B.eval_delta(material, normal, outgoing, inc_d)
+        pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
+        safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+        weight = _where3(cont & ~d_zero, st.weight * f_d / safe_d,
+                         st.weight)
+        wzero = jnp.all(weight == 0.0, axis=-1)
+        wbad = ~jnp.all(jnp.isfinite(weight), axis=-1)
+        alive = st.alive & cont & ~d_zero & ~wzero & ~wbad
+        alive = alive | (st.alive & op_skip)
+        st = st._replace(weight=weight, rng=rng)
+
+        ro = _where3(cont, position, st.ro)
+        rd = _where3(cont, inc_d, st.rd)
+        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        bounce = jnp.where(cont & ~op_skip, st.bounce + 1, st.bounce)
+        alive = alive & (op_skip | (bounce < bounces))
+        st = st._replace(ro=ro, rd=rd, bounce=bounce, alive=alive,
+                         it=st.it + 1)
+        return st
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.it < max_iters)
+
+    def run(ro, rd, rngs):
+        st = jax.lax.while_loop(cond, body, _init_state(ro, rd, rngs))
+        return (st.radiance, st.hit, st.hit_albedo, st.hit_normal, st.rng)
+
+    return run
+
+
+def make_falsecolor_sampler(scene: FlatScene, lights: FlatLights,
+                            meta: LightsMeta, params: TraceParams,
+                            intersect_fn):
+    """`trace_falsecolor` AOVs (yocto_trace.cpp:1341-1419)."""
+    from ..ops.color import colormap
+
+    fc = params.falsecolor
+
+    def hashed(ids):
+        h = (ids.astype(jnp.uint32) * jnp.uint32(2654435761)) \
+            & jnp.uint32(0xFFFFFFFF)
+        # simple per-id colors via integer hash (visual only)
+        x = (h & 0xFF).astype(jnp.float32) / 255.0
+        y = ((h >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        z = ((h >> 16) & 0xFF).astype(jnp.float32) / 255.0
+        return jnp.stack([0.2 + 0.8 * x, 0.2 + 0.8 * y, 0.2 + 0.8 * z], -1)
+
+    def run(ro, rd, rngs):
+        isec = intersect_fn(scene, ro, rd)
+        hit = isec.hit
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        outgoing = -rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        gnormal = eval_element_normal(scene, inst, gelem)
+        texcoord = eval_texcoord(scene, inst, gelem, isec.uv)
+        material = eval_material(scene, inst, gelem, isec.uv)
+        delta = is_delta_point(material)
+
+        t = FalsecolorType
+        if fc == t.position:
+            out = position * 0.5 + 0.5
+        elif fc == t.normal:
+            out = normal * 0.5 + 0.5
+        elif fc == t.frontfacing:
+            ff = M.dot(normal, outgoing) > 0.0
+            out = _where3(ff, jnp.asarray([0.0, 1.0, 0.0]),
+                          jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]),
+                                           position.shape))
+        elif fc == t.gnormal:
+            out = gnormal * 0.5 + 0.5
+        elif fc == t.gfrontfacing:
+            ff = M.dot(gnormal, outgoing) > 0.0
+            out = _where3(ff, jnp.asarray([0.0, 1.0, 0.0]),
+                          jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]),
+                                           position.shape))
+        elif fc == t.texcoord:
+            out = jnp.stack([jnp.mod(texcoord[..., 0], 1.0),
+                             jnp.mod(texcoord[..., 1], 1.0),
+                             jnp.zeros_like(texcoord[..., 0])], -1)
+        elif fc == t.mtype:
+            out = hashed(material.type)
+        elif fc == t.color:
+            out = material.color
+        elif fc == t.emission:
+            out = material.emission
+        elif fc == t.roughness:
+            out = jnp.repeat(material.roughness[..., None], 3, -1)
+        elif fc == t.opacity:
+            out = jnp.repeat(material.opacity[..., None], 3, -1)
+        elif fc == t.metallic:
+            out = jnp.repeat(material.metallic[..., None], 3, -1)
+        elif fc == t.delta:
+            out = jnp.where(delta[..., None], 1.0, 0.0) \
+                * jnp.ones_like(position)
+        elif fc == t.element:
+            out = hashed(isec.element)
+        elif fc == t.instance:
+            out = hashed(isec.instance)
+        elif fc == t.shape:
+            out = hashed(shape)
+        elif fc == t.material:
+            out = hashed(scene.inst_material[inst])
+        elif fc == t.highlight:
+            emission = material.emission
+            zero_e = jnp.all(emission == 0.0, axis=-1)
+            emission = _where3(zero_e, jnp.full_like(emission, 0.2),
+                               emission)
+            out = emission * jnp.abs(M.dot(-rd, normal))[..., None]
+        else:
+            out = material.color
+        radiance = _where3(hit, out, jnp.zeros_like(out))
+        return (radiance, hit, material.color,
+                _where3(hit, normal, -rd), rngs)
+
+    return run
+
+
+def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
+                         meta: LightsMeta, params: TraceParams,
+                         intersect_fn):
+    """`trace_furnace` (yocto_trace.cpp:1247-1338): white-furnace test —
+    energy-conserving BSDFs must render flat 1.0 under a constant
+    environment."""
+
+    envhidden = params.envhidden
+    has_env = scene.env_frame.shape[0] > 0
+    max_iters = params.bounces + 130
+
+    def body(st: PathState) -> PathState:
+        # the reference starts from `in_volume = false` and uses only
+        # surface scattering with BSDF sampling
+        isec = intersect_fn(scene, st.ro, st.rd)
+        act = st.alive
+        miss = act & ~isec.hit
+        if has_env:
+            env_ok = miss & ((st.bounce > 0) | (not envhidden))
+            env = eval_environment(scene, st.rd)
+            st = st._replace(radiance=_where3(
+                env_ok, st.radiance + st.weight * env, st.radiance))
+        st = st._replace(alive=act & isec.hit)
+        hit_l = act & isec.hit
+
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        outgoing = -st.rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        material = eval_material(scene, inst, gelem, isec.uv)
+
+        op_lt1 = hit_l & (material.opacity < 1.0)
+        r_op, rng = R.rand1f_if(st.rng, op_lt1)
+        op_skip = op_lt1 & (r_op >= material.opacity)
+        op_die = op_skip & (st.opbounce > 128)
+        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+        shade = hit_l & ~op_skip
+        st = st._replace(rng=rng, opbounce=opbounce,
+                         alive=st.alive & ~op_die)
+
+        first = shade & (st.bounce == 0)
+        st = st._replace(
+            hit=st.hit | first,
+            hit_albedo=_where3(first, material.color, st.hit_albedo),
+            hit_normal=_where3(first, normal, st.hit_normal))
+
+        emis = B.eval_emission(material, normal, outgoing)
+        st = st._replace(radiance=_where3(
+            shade, st.radiance + st.weight * emis, st.radiance))
+
+        rough = shade & (material.roughness != 0.0)
+        rn2, rng = R.rand2f_if(st.rng, rough)
+        rnl, rng = R.rand1f_if(rng, rough)
+        inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        r_zero = rough & jnp.all(inc_r == 0.0, axis=-1)
+        f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r)
+        pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r)
+        safe_r = jnp.where(pdf_r == 0.0, 1.0, pdf_r)[..., None]
+        weight = _where3(rough & ~r_zero, st.weight * f_r / safe_r,
+                         st.weight)
+
+        dl = shade & (material.roughness == 0.0)
+        r_d, rng = R.rand1f_if(rng, dl)
+        inc_d = B.sample_delta(material, normal, outgoing, r_d)
+        d_zero = dl & jnp.all(inc_d == 0.0, axis=-1)
+        f_d = B.eval_delta(material, normal, outgoing, inc_d)
+        pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
+        safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+        weight = _where3(dl & ~d_zero, weight * f_d / safe_d, weight)
+
+        incoming = _where3(material.roughness != 0.0, inc_r, inc_d)
+        alive = st.alive & ~(r_zero | d_zero)
+        st = st._replace(weight=weight, alive=alive, rng=rng)
+
+        processed = shade & st.alive
+        wzero = jnp.all(st.weight == 0.0, axis=-1)
+        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        st = st._replace(alive=st.alive & ~(processed & (wzero | wbad)))
+
+        rr = processed & st.alive & (st.bounce > 3)
+        rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(st.weight))
+        r_rr, rng = R.rand1f_if(st.rng, rr)
+        rr_die = rr & (r_rr >= rr_prob)
+        safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+        st = st._replace(
+            weight=_where3(rr & ~rr_die, st.weight / safe_rr[..., None],
+                           st.weight),
+            alive=st.alive & ~rr_die, rng=rng)
+
+        ro = _where3(shade & st.alive, position, st.ro)
+        rd = _where3(shade & st.alive, incoming, st.rd)
+        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        bounce = jnp.where(shade & st.alive, st.bounce + 1, st.bounce)
+        alive = st.alive & (op_skip | (bounce < params.bounces)) \
+            & (shade | op_skip)
+        st = st._replace(ro=ro, rd=rd, bounce=bounce, alive=alive,
+                         it=st.it + 1)
+        return st
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.it < max_iters)
+
+    def run(ro, rd, rngs):
+        st = jax.lax.while_loop(cond, body, _init_state(ro, rd, rngs))
+        return (st.radiance, st.hit, st.hit_albedo, st.hit_normal, st.rng)
+
+    return run
+
+
+SAMPLER_BUILDERS = {
+    SamplerType.path: make_path_sampler,
+    SamplerType.naive: make_naive_sampler,
+    SamplerType.eyelight: make_eyelight_sampler,
+    SamplerType.falsecolor: make_falsecolor_sampler,
+    SamplerType.furnace: make_furnace_sampler,
+}
+
+
+def get_sampler_builder(sampler: SamplerType):
+    if sampler not in SAMPLER_BUILDERS:
+        raise ValueError(f"sampler {sampler!r} not implemented yet")
+    return SAMPLER_BUILDERS[sampler]
+
+
+def is_sampler_lit(params: TraceParams) -> bool:
+    return params.sampler in (SamplerType.path, SamplerType.pathdirect,
+                              SamplerType.pathmis, SamplerType.naive,
+                              SamplerType.furnace)

@@ -1,0 +1,212 @@
+"""Progressive renderer: state, per-sample accumulation, orchestration.
+
+Replicates the reference's progressive API (yocto_trace.cpp:1440-1676):
+`make_trace_state` (running-mean image/albedo/normal accumulators plus a
+per-pixel PCG32 generator seeded exactly like the reference's
+make_trace_state, yocto_trace.cpp:1495-1520), `trace_samples` (one batch of
+samples for every pixel — here a single jitted device step over the whole
+megabatch of rays instead of a scanline thread pool), `trace_image` (full
+loop) and `get_image`.
+
+The sampler runs once per pixel per sample over a flat [H*W] lane batch;
+accumulation is the reference's clamped running mean
+(yocto_trace.cpp:1461-1492).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import SceneData
+from ..ops import mathops as M
+from ..ops import rng as R
+from ..ops import sampling as SMP
+from .compile import FlatScene, compile_scene
+from .intersect import intersect_scene_bruteforce
+from .lights import FlatLights, LightsMeta, make_trace_lights
+from .params import SamplerType, TraceParams
+from .pathtrace import get_sampler_builder
+
+
+class TraceState(NamedTuple):
+    image: jax.Array    # [H,W,4] running mean
+    albedo: jax.Array   # [H,W,3]
+    normal: jax.Array   # [H,W,3]
+    hits: jax.Array     # [H,W] i32
+    rng: R.RngState     # leaves [H*W]
+    samples: jax.Array  # scalar i32
+
+
+def render_size(scene: SceneData, params: TraceParams):
+    cam = scene.cameras[params.camera]
+    if cam.aspect >= 1:
+        width = params.resolution
+        height = int(round(params.resolution / cam.aspect))
+    else:
+        height = params.resolution
+        width = int(round(params.resolution * cam.aspect))
+    return width, height
+
+
+def make_trace_state(scene: SceneData, params: TraceParams) -> TraceState:
+    width, height = render_size(scene, params)
+    n = width * height
+    return TraceState(
+        image=jnp.zeros((height, width, 4), jnp.float32),
+        albedo=jnp.zeros((height, width, 3), jnp.float32),
+        normal=jnp.zeros((height, width, 3), jnp.float32),
+        hits=jnp.zeros((height, width), jnp.int32),
+        rng=R.make_pixel_seeds(n, params.seed),
+        samples=jnp.zeros((), jnp.int32))
+
+
+def sample_camera_rays(scene: FlatScene, camera: int, width: int,
+                       height: int, rngs, tentfilter: bool):
+    """Camera ray batch with pixel jitter + lens sampling
+    (yocto_trace.cpp:338-358). Returns (ro, rd, rng')."""
+    from .sceneval import eval_camera
+
+    jj, ii = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32),
+                          indexing="ij")
+    i = ii.reshape(-1)
+    j = jj.reshape(-1)
+    # NOTE: the reference passes rand2f(rng) twice as call arguments
+    # (yocto_trace.cpp:1465-1467); gcc evaluates arguments right-to-left,
+    # so the lens uv consumes the FIRST pair of draws. Matching that order
+    # keeps per-pixel streams bit-identical to the reference build.
+    luv, rngs = R.rand2f(rngs)
+    puv, rngs = R.rand2f(rngs)
+    if not tentfilter:
+        uv = jnp.stack([(i + puv[..., 0]) / width,
+                        (j + puv[..., 1]) / height], axis=-1)
+    else:
+        fuv = 2.0 * jnp.stack([
+            jnp.where(puv[..., 0] < 0.5,
+                      jnp.sqrt(2.0 * puv[..., 0]) - 1.0,
+                      1.0 - jnp.sqrt(2.0 - 2.0 * puv[..., 0])),
+            jnp.where(puv[..., 1] < 0.5,
+                      jnp.sqrt(2.0 * puv[..., 1]) - 1.0,
+                      1.0 - jnp.sqrt(2.0 - 2.0 * puv[..., 1])),
+        ], axis=-1) + 0.5
+        uv = jnp.stack([(i + fuv[..., 0]) / width,
+                        (j + fuv[..., 1]) / height], axis=-1)
+    ro, rd = eval_camera(scene, camera, uv, SMP.sample_disk(luv))
+    return ro, rd, rngs
+
+
+def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
+                meta: LightsMeta, params: TraceParams, width: int,
+                height: int):
+    """One sample for every pixel + accumulation. Traced under jit."""
+    builder = get_sampler_builder(params.sampler)
+    sampler = builder(scene, lights, meta, params,
+                      intersect_scene_bruteforce)
+
+    ro, rd, rngs = sample_camera_rays(
+        scene, params.camera, width, height, state.rng, params.tentfilter)
+    radiance, hit, albedo, normal, rngs = sampler(ro, rd, rngs)
+
+    # clamp + nan scrub (yocto_trace.cpp:1471-1475)
+    finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
+    radiance = jnp.where(finite, radiance, 0.0)
+    mx = M.maxc(radiance)
+    scale = jnp.where(mx > params.clamp, params.clamp / jnp.maximum(mx, 1e-20),
+                      1.0)
+    radiance = radiance * scale[..., None]
+
+    has_env = scene.env_frame.shape[0] > 0
+    w = 1.0 / (state.samples.astype(jnp.float32) + 1.0)
+
+    img_new = jnp.concatenate(
+        [radiance, jnp.ones_like(radiance[..., :1])], axis=-1)
+    if has_env and not params.envhidden:
+        # miss lanes still accumulate environment radiance
+        use_img = jnp.ones_like(hit)
+        albedo_new = jnp.where(hit[..., None], albedo,
+                               jnp.ones_like(albedo))
+        normal_new = jnp.where(hit[..., None], normal, -rd)
+        hits_inc = jnp.ones_like(hit, jnp.int32)
+    else:
+        use_img = hit
+        albedo_new = jnp.where(hit[..., None], albedo,
+                               jnp.zeros_like(albedo))
+        normal_new = jnp.where(hit[..., None], normal, -rd)
+        hits_inc = hit.astype(jnp.int32)
+    img_new = jnp.where(use_img[..., None], img_new,
+                        jnp.zeros_like(img_new))
+
+    shape2 = (height, width)
+    image = state.image + (img_new.reshape(shape2 + (4,))
+                           - state.image) * w
+    albedo_acc = state.albedo + (albedo_new.reshape(shape2 + (3,))
+                                 - state.albedo) * w
+    normal_acc = state.normal + (normal_new.reshape(shape2 + (3,))
+                                 - state.normal) * w
+    hits = state.hits + hits_inc.reshape(shape2)
+    return TraceState(image=image, albedo=albedo_acc, normal=normal_acc,
+                      hits=hits, rng=rngs, samples=state.samples + 1)
+
+
+class Renderer:
+    """Holds compiled scene + lights and a cached jitted sample step."""
+
+    def __init__(self, scene: SceneData, params: TraceParams):
+        self.scene_host = scene
+        self.params = params
+        self.flat = compile_scene(scene)
+        self.lights, self.lights_meta = make_trace_lights(scene)
+        self.width, self.height = render_size(scene, params)
+
+        meta, width, height = self.lights_meta, self.width, self.height
+
+        @jax.jit
+        def step(flat, lights, state):
+            return _one_sample(flat, lights, state, meta, params,
+                               width, height)
+
+        self._step = step
+
+    def make_state(self) -> TraceState:
+        return make_trace_state(self.scene_host, self.params)
+
+    def sample(self, state: TraceState) -> TraceState:
+        return self._step(self.flat, self.lights, state)
+
+    def render(self, nsamples: Optional[int] = None,
+               callback=None) -> TraceState:
+        state = self.make_state()
+        n = self.params.samples if nsamples is None else nsamples
+        for s in range(n):
+            state = self.sample(state)
+            if callback is not None:
+                callback(state, s)
+        return state
+
+
+def trace_samples(renderer: Renderer, state: TraceState,
+                  params: TraceParams) -> TraceState:
+    """Advance the accumulator by params.batch samples."""
+    for _ in range(max(1, params.batch)):
+        if int(state.samples) >= params.samples:
+            break
+        state = renderer.sample(state)
+    return state
+
+
+def trace_image(scene: SceneData, params: TraceParams):
+    """One-call render (yocto_trace.cpp:1584-1592 equivalent)."""
+    renderer = Renderer(scene, params)
+    state = renderer.render()
+    return get_image(state)
+
+
+def get_image(state: TraceState) -> np.ndarray:
+    """Linear [H,W,4] float image."""
+    return np.asarray(state.image)

@@ -1,0 +1,380 @@
+"""Batched scene property evaluation on the flat device scene.
+
+TPU-native equivalents of the reference's per-point scene eval
+(yocto_scene.cpp:66-613): camera rays, texture lookups (bilinear, tiled,
+sRGB-aware), geometric/shading normals with normal mapping, material
+evaluation into an SoA `MaterialPoint`, and environment lookups. Every
+function takes batches of instance/element indices and uvs and gathers from
+the `FlatScene` pools — this is the data path the wavefront tracer runs
+per bounce.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import MaterialType
+from ..ops import mathops as M
+from ..ops.color import srgb_to_rgb
+from .compile import (FlatScene, KIND_LINES, KIND_POINTS, KIND_QUADS,
+                      KIND_TRIANGLES)
+
+MIN_ROUGHNESS = 0.03 * 0.03  # yocto_scene.cpp:199
+
+
+class MaterialPoint(NamedTuple):
+    """SoA material point (yocto_scene.h material_point equivalent)."""
+
+    type: jax.Array          # [R] i32
+    emission: jax.Array      # [R,3]
+    color: jax.Array         # [R,3]
+    opacity: jax.Array       # [R]
+    roughness: jax.Array     # [R]
+    metallic: jax.Array      # [R]
+    ior: jax.Array           # [R]
+    density: jax.Array       # [R,3]
+    scattering: jax.Array    # [R,3]
+    scanisotropy: jax.Array  # [R]
+    trdepth: jax.Array       # [R]
+
+
+# ----------------------------------------------------------------------------
+# Camera (yocto_scene.cpp:66-101)
+# ----------------------------------------------------------------------------
+
+def eval_camera(scene: FlatScene, camera: int, image_uv, lens_uv):
+    """Thin-lens/orthographic camera ray; returns (origin, direction)."""
+    frame = scene.cam_frame[camera]
+    lens = scene.cam_lens[camera]
+    film_w = scene.cam_film[camera]
+    aspect = scene.cam_aspect[camera]
+    focus = scene.cam_focus[camera]
+    aperture = scene.cam_aperture[camera]
+    film_x = jnp.where(aspect >= 1.0, film_w, film_w * aspect)
+    film_y = jnp.where(aspect >= 1.0, film_w / aspect, film_w)
+    qx = film_x * (0.5 - image_uv[..., 0])
+    qy = film_y * (image_uv[..., 1] - 0.5)
+
+    # perspective branch
+    q = M.vec(qx, qy, jnp.broadcast_to(lens, qx.shape))
+    dc = -M.normalize(q)
+    e_p = M.vec(lens_uv[..., 0] * aperture / 2.0,
+                lens_uv[..., 1] * aperture / 2.0,
+                jnp.zeros_like(qx))
+    p_p = dc * (focus / jnp.abs(dc[..., 2]))[..., None]
+    d_p = M.normalize(p_p - e_p)
+
+    # orthographic branch
+    scale = 1.0 / lens
+    e_o = M.vec(-qx * scale + lens_uv[..., 0] * aperture / 2.0,
+                -qy * scale + lens_uv[..., 1] * aperture / 2.0,
+                jnp.zeros_like(qx))
+    p_o = M.vec(-qx * scale, -qy * scale,
+                jnp.broadcast_to(-focus, qx.shape))
+    d_o = M.normalize(p_o - e_o)
+
+    ortho = scene.cam_ortho[camera]
+    e = jnp.where(ortho, e_o, e_p)
+    d = jnp.where(ortho, d_o, d_p)
+    return (M.transform_point(frame, e), M.transform_direction(frame, d))
+
+
+# ----------------------------------------------------------------------------
+# Textures (yocto_scene.cpp:111-178)
+# ----------------------------------------------------------------------------
+
+def eval_texture(scene: FlatScene, tex_id, uv, as_linear):
+    """Bilinear/tiled texture lookup; tex_id == -1 returns white.
+
+    tex_id: [R] i32; uv: [R,2]; as_linear: python bool (call-site static).
+    """
+    tid = jnp.maximum(tex_id, 0)
+    w = scene.tex_width[tid]
+    h = scene.tex_height[tid]
+    off = scene.tex_offset[tid]
+    clamp_e = scene.tex_clamp[tid]
+    nearest = scene.tex_nearest[tid]
+    stored_linear = scene.tex_linear[tid]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    s_clamped = jnp.clip(uv[..., 0], 0.0, 1.0) * wf
+    t_clamped = jnp.clip(uv[..., 1], 0.0, 1.0) * hf
+    s_tiled = jnp.mod(uv[..., 0], 1.0) * wf
+    s_tiled = jnp.where(s_tiled < 0.0, s_tiled + wf, s_tiled)
+    t_tiled = jnp.mod(uv[..., 1], 1.0) * hf
+    t_tiled = jnp.where(t_tiled < 0.0, t_tiled + hf, t_tiled)
+    s = jnp.where(clamp_e, s_clamped, s_tiled)
+    t = jnp.where(clamp_e, t_clamped, t_tiled)
+
+    i = jnp.clip(s.astype(jnp.int32), 0, w - 1)
+    j = jnp.clip(t.astype(jnp.int32), 0, h - 1)
+    ii = (i + 1) % w
+    jj = (j + 1) % h
+    u = s - i.astype(jnp.float32)
+    v = t - j.astype(jnp.float32)
+
+    def fetch(ci, cj):
+        texel = scene.tex_data[off + cj * w + ci]
+        if as_linear:
+            texel = jnp.where(stored_linear[..., None], texel,
+                              srgb_to_rgb(texel))
+        return texel
+
+    t00 = fetch(i, j)
+    near = t00
+    t01 = fetch(i, jj)
+    t10 = fetch(ii, j)
+    t11 = fetch(ii, jj)
+    bil = (t00 * ((1 - u) * (1 - v))[..., None]
+           + t01 * ((1 - u) * v)[..., None]
+           + t10 * (u * (1 - v))[..., None]
+           + t11 * (u * v)[..., None])
+    out = jnp.where(nearest[..., None], near, bil)
+    return jnp.where((tex_id < 0)[..., None], 1.0, out)
+
+
+# ----------------------------------------------------------------------------
+# Geometry attribute interpolation
+# ----------------------------------------------------------------------------
+
+def _gather_elem(scene: FlatScene, inst, elem):
+    """Common gathers: shape id, kind, vertex ids, instance frame."""
+    shape = scene.inst_shape[inst]
+    kind = scene.shape_kind[shape]
+    verts = scene.elements[elem]          # [R,4]
+    frame = scene.inst_frame[inst]        # [R,4,3]
+    return shape, kind, verts, frame
+
+
+def _interp(attr_pool, verts, kind, uv):
+    """Interpolate a vertex attribute over the unified element.
+
+    Quad split interpolation handles triangles (w==z) exactly; lines and
+    points switch on kind.
+    """
+    a = attr_pool[verts]  # [R,4,K]
+    a0, a1, a2, a3 = a[..., 0, :], a[..., 1, :], a[..., 2, :], a[..., 3, :]
+    u = uv[..., 0:1]
+    v = uv[..., 1:2]
+    lower = (uv[..., 0] + uv[..., 1]) <= 1.0
+    tri_a = a0 * (1.0 - u - v) + a1 * u + a3 * v
+    iu = 1.0 - uv[..., 0:1]
+    iv = 1.0 - uv[..., 1:2]
+    tri_b = a2 * (1.0 - iu - iv) + a3 * iu + a1 * iv
+    quad = jnp.where(lower[..., None], tri_a, tri_b)
+    line = a0 * (1.0 - u) + a1 * u
+    point = a0
+    out = jnp.where((kind == KIND_LINES)[..., None], line, quad)
+    out = jnp.where((kind == KIND_POINTS)[..., None], point, out)
+    return out
+
+
+def eval_position(scene: FlatScene, inst, elem, uv):
+    _, kind, verts, frame = _gather_elem(scene, inst, elem)
+    local = _interp(scene.positions, verts, kind, uv)
+    return M.transform_point(frame, local)
+
+
+def eval_element_normal(scene: FlatScene, inst, elem):
+    """Geometric normal (yocto_scene.cpp:318-341 equivalent)."""
+    _, kind, verts, frame = _gather_elem(scene, inst, elem)
+    p = scene.positions[verts]
+    p0, p1, p2, p3 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+    n_a = M.normalize(M.cross(p1 - p0, p3 - p0))
+    n_b = M.normalize(M.cross(p3 - p2, p1 - p2))
+    quad_n = M.normalize(n_a + n_b)
+    line_t = M.normalize(p1 - p0)
+    point_n = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p0.shape)
+    local = jnp.where((kind == KIND_LINES)[..., None], line_t, quad_n)
+    local = jnp.where((kind == KIND_POINTS)[..., None], point_n, local)
+    return M.transform_normal(frame, local)
+
+
+def eval_normal(scene: FlatScene, inst, elem, uv):
+    shape, kind, verts, frame = _gather_elem(scene, inst, elem)
+    has_n = scene.shape_has_normals[shape]
+    interp_n = M.normalize(_interp(scene.normals, verts, kind, uv))
+    shading = M.transform_normal(frame, interp_n)
+    geometric = eval_element_normal(scene, inst, elem)
+    return jnp.where(has_n[..., None], shading, geometric)
+
+
+def eval_texcoord(scene: FlatScene, inst, elem, uv):
+    shape, kind, verts, _ = _gather_elem(scene, inst, elem)
+    has_t = scene.shape_has_texcoords[shape]
+    interp_t = _interp(scene.texcoords, verts, kind, uv)
+    return jnp.where(has_t[..., None], interp_t, uv)
+
+
+def eval_color(scene: FlatScene, inst, elem, uv):
+    shape, kind, verts, _ = _gather_elem(scene, inst, elem)
+    has_c = scene.shape_has_colors[shape]
+    interp_c = _interp(scene.colors, verts, kind, uv)
+    return jnp.where(has_c[..., None], interp_c, 1.0)
+
+
+def eval_element_tangents(scene: FlatScene, inst, elem):
+    """uv-space tangents of the element's first triangle
+    (yocto_scene.cpp:409-443 equivalent; quads evaluated at uv = (0,0))."""
+    shape, kind, verts, frame = _gather_elem(scene, inst, elem)
+    p = scene.positions[verts]
+    t = scene.texcoords[verts]
+    p0, p1, p3 = p[..., 0, :], p[..., 1, :], p[..., 3, :]
+    uv0, uv1, uv3 = t[..., 0, :], t[..., 1, :], t[..., 3, :]
+    pp = p1 - p0
+    q = p3 - p0
+    sx = uv1[..., 0] - uv0[..., 0]
+    sy = uv3[..., 0] - uv0[..., 0]
+    tx = uv1[..., 1] - uv0[..., 1]
+    ty = uv3[..., 1] - uv0[..., 1]
+    div = sx * ty - sy * tx
+    safe = jnp.where(div == 0.0, 1.0, div)[..., None]
+    tu = (ty[..., None] * pp - tx[..., None] * q) / safe
+    tv = (sx[..., None] * q - sy[..., None] * pp) / safe
+    bad = (div == 0.0)[..., None]
+    tu = jnp.where(bad, jnp.asarray([1.0, 0.0, 0.0], jnp.float32), tu)
+    tv = jnp.where(bad, jnp.asarray([0.0, 1.0, 0.0], jnp.float32), tv)
+    return (M.transform_direction(frame, tu),
+            M.transform_direction(frame, tv))
+
+
+def eval_normalmap(scene: FlatScene, inst, elem, uv):
+    """Normal mapping (yocto_scene.cpp:446-467)."""
+    normal = eval_normal(scene, inst, elem, uv)
+    mat = scene.inst_material[inst]
+    normal_tex = scene.mat_normal_tex[mat]
+    shape = scene.inst_shape[inst]
+    kind = scene.shape_kind[shape]
+    surface = (kind == KIND_TRIANGLES) | (kind == KIND_QUADS)
+    apply = (normal_tex >= 0) & surface
+
+    texcoord = eval_texcoord(scene, inst, elem, uv)
+    normalmap = -1.0 + 2.0 * eval_texture(
+        scene, normal_tex, texcoord, as_linear=False)[..., :3]
+    tu, tv = eval_element_tangents(scene, inst, elem)
+    fx = M.orthonormalize(tu, normal)
+    fy = M.normalize(M.cross(normal, fx))
+    flip_v = M.dot(fy, tv) < 0.0
+    ny = normalmap[..., 1] * jnp.where(flip_v, 1.0, -1.0)
+    nm = jnp.stack([normalmap[..., 0], ny, normalmap[..., 2]], axis=-1)
+    frame = jnp.stack([fx, fy, normal], axis=-2)  # rows x,y,z
+    mapped = M.normalize(jnp.einsum("...i,...ij->...j", nm, frame))
+    return jnp.where(apply[..., None], mapped, normal)
+
+
+def eval_shading_position(scene: FlatScene, inst, elem, uv, outgoing):
+    return eval_position(scene, inst, elem, uv)
+
+
+def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing):
+    """Shading normal with facing flip / line / point handling
+    (yocto_scene.cpp:469-505)."""
+    shape, kind, _, _ = _gather_elem(scene, inst, elem)
+    mat = scene.inst_material[inst]
+    normal = eval_normalmap(scene, inst, elem, uv)
+    is_refractive = scene.mat_type[mat] == int(MaterialType.refractive)
+    flip = (M.dot(normal, outgoing) < 0.0) & ~is_refractive
+    surf_n = jnp.where(flip[..., None], -normal, normal)
+    line_n = M.orthonormalize(outgoing, eval_normal(scene, inst, elem, uv))
+    out = jnp.where((kind == KIND_LINES)[..., None], line_n, surf_n)
+    out = jnp.where((kind == KIND_POINTS)[..., None], outgoing, out)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Materials (yocto_scene.cpp:531-581)
+# ----------------------------------------------------------------------------
+
+def eval_material(scene: FlatScene, inst, elem, uv) -> MaterialPoint:
+    mat = scene.inst_material[inst]
+    texcoord = eval_texcoord(scene, inst, elem, uv)
+    emission_tex = eval_texture(
+        scene, scene.mat_emission_tex[mat], texcoord, as_linear=True)
+    color_shp = eval_color(scene, inst, elem, uv)
+    color_tex = eval_texture(
+        scene, scene.mat_color_tex[mat], texcoord, as_linear=True)
+    roughness_tex = eval_texture(
+        scene, scene.mat_roughness_tex[mat], texcoord, as_linear=False)
+    scattering_tex = eval_texture(
+        scene, scene.mat_scattering_tex[mat], texcoord, as_linear=True)
+
+    mtype = scene.mat_type[mat]
+    emission = scene.mat_emission[mat] * emission_tex[..., :3] \
+        * color_shp[..., :3]
+    color = scene.mat_color[mat] * color_tex[..., :3] * color_shp[..., :3]
+    opacity = scene.mat_opacity[mat] * color_tex[..., 3] * color_shp[..., 3]
+    metallic = scene.mat_metallic[mat] * roughness_tex[..., 2]
+    roughness = scene.mat_roughness[mat] * roughness_tex[..., 1]
+    roughness = roughness * roughness
+    ior = scene.mat_ior[mat]
+    scattering = scene.mat_scattering[mat] * scattering_tex[..., :3]
+    scanisotropy = scene.mat_scanisotropy[mat]
+    trdepth = scene.mat_trdepth[mat]
+
+    volumetric_types = (
+        (mtype == int(MaterialType.refractive))
+        | (mtype == int(MaterialType.volumetric))
+        | (mtype == int(MaterialType.subsurface)))
+    density = jnp.where(
+        volumetric_types[..., None],
+        -jnp.log(jnp.clip(color, 0.0001, 1.0)) / trdepth[..., None],
+        0.0)
+
+    clamped_types = ((mtype == int(MaterialType.matte))
+                     | (mtype == int(MaterialType.gltfpbr))
+                     | (mtype == int(MaterialType.glossy)))
+    roughness = jnp.where(
+        clamped_types, jnp.clip(roughness, MIN_ROUGHNESS, 1.0),
+        jnp.where(mtype == int(MaterialType.volumetric), 0.0,
+                  jnp.where(roughness < MIN_ROUGHNESS, 0.0, roughness)))
+
+    return MaterialPoint(
+        type=mtype, emission=emission, color=color, opacity=opacity,
+        roughness=roughness, metallic=metallic, ior=ior, density=density,
+        scattering=scattering, scanisotropy=scanisotropy, trdepth=trdepth)
+
+
+def is_delta_point(material: MaterialPoint):
+    """Delta test on evaluated material (yocto_scene.cpp:249-266)."""
+    t = material.type
+    zero_rough = material.roughness == 0.0
+    return (((t == int(MaterialType.reflective)) & zero_rough)
+            | ((t == int(MaterialType.refractive)) & zero_rough)
+            | ((t == int(MaterialType.transparent)) & zero_rough)
+            | (t == int(MaterialType.volumetric)))
+
+
+def is_volumetric_instance(scene: FlatScene, inst):
+    mat = scene.inst_material[inst]
+    t = scene.mat_type[mat]
+    return ((t == int(MaterialType.refractive))
+            | (t == int(MaterialType.volumetric))
+            | (t == int(MaterialType.subsurface)))
+
+
+# ----------------------------------------------------------------------------
+# Environments (yocto_scene.cpp:596-613)
+# ----------------------------------------------------------------------------
+
+def eval_environment(scene: FlatScene, direction):
+    """Sum of all environment emissions along `direction` [R,3]."""
+    n_envs = scene.env_frame.shape[0]
+    total = jnp.zeros_like(direction)
+    for e in range(n_envs):
+        frame = scene.env_frame[e]
+        wl = M.transform_direction(M.inverse_frame(frame), direction)
+        tx = jnp.arctan2(wl[..., 2], wl[..., 0]) / (2.0 * M.pif)
+        tx = jnp.where(tx < 0.0, tx + 1.0, tx)
+        ty = jnp.arccos(jnp.clip(wl[..., 1], -1.0, 1.0)) / M.pif
+        texcoord = jnp.stack([tx, ty], axis=-1)
+        tex_id = jnp.broadcast_to(scene.env_tex[e], tx.shape)
+        # as_linear=False matches the reference default at this call site
+        emission = scene.env_emission[e] * eval_texture(
+            scene, tex_id, texcoord, as_linear=False)[..., :3]
+        total = total + emission
+    return total
