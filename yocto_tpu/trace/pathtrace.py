@@ -641,8 +641,16 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
     max_iters = params.bounces + 130
 
     def body(st: PathState) -> PathState:
-        # the reference starts from `in_volume = false` and uses only
-        # surface scattering with BSDF sampling
+        # early exit: after the first bounce, lanes not inside a volume
+        # collect the environment and stop (yocto_trace.cpp:1262-1266);
+        # vol_depth doubles as the reference's in_volume toggle
+        exit_l = st.alive & (st.bounce > 0) & (st.vol_depth == 0)
+        if has_env:
+            env0 = eval_environment(scene, st.rd)
+            st = st._replace(radiance=_where3(
+                exit_l, st.radiance + st.weight * env0, st.radiance))
+        st = st._replace(alive=st.alive & ~exit_l)
+
         isec = intersect_fn(scene, st.ro, st.rd)
         act = st.alive
         miss = act & ~isec.hit
@@ -720,6 +728,12 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
             weight=_where3(rr & ~rr_die, st.weight / safe_rr[..., None],
                            st.weight),
             alive=st.alive & ~rr_die, rng=rng)
+
+        # in_volume toggle on transmission (yocto_trace.cpp:1331-1333)
+        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
+        togg = shade & st.alive & crossed
+        st = st._replace(vol_depth=jnp.where(togg, 1 - st.vol_depth,
+                                             st.vol_depth))
 
         ro = _where3(shade & st.alive, position, st.ro)
         rd = _where3(shade & st.alive, incoming, st.rd)
