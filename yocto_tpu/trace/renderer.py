@@ -67,16 +67,23 @@ def make_trace_state(scene: SceneData, params: TraceParams) -> TraceState:
 
 
 def sample_camera_rays(scene: FlatScene, camera: int, width: int,
-                       height: int, rngs, tentfilter: bool):
+                       height: int, rngs, tentfilter: bool,
+                       row_offset=0, full_height: int = None):
     """Camera ray batch with pixel jitter + lens sampling
-    (yocto_trace.cpp:338-358). Returns (ro, rd, rng')."""
+    (yocto_trace.cpp:338-358). Returns (ro, rd, rng').
+
+    `row_offset`/`full_height` support tile-sharded rendering: this batch
+    covers rows [row_offset, row_offset+height) of a full_height image.
+    """
     from .sceneval import eval_camera
 
+    if full_height is None:
+        full_height = height
     jj, ii = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
                           jnp.arange(width, dtype=jnp.float32),
                           indexing="ij")
     i = ii.reshape(-1)
-    j = jj.reshape(-1)
+    j = jj.reshape(-1) + row_offset
     # NOTE: the reference passes rand2f(rng) twice as call arguments
     # (yocto_trace.cpp:1465-1467); gcc evaluates arguments right-to-left,
     # so the lens uv consumes the FIRST pair of draws. Matching that order
@@ -85,7 +92,7 @@ def sample_camera_rays(scene: FlatScene, camera: int, width: int,
     puv, rngs = R.rand2f(rngs)
     if not tentfilter:
         uv = jnp.stack([(i + puv[..., 0]) / width,
-                        (j + puv[..., 1]) / height], axis=-1)
+                        (j + puv[..., 1]) / full_height], axis=-1)
     else:
         fuv = 2.0 * jnp.stack([
             jnp.where(puv[..., 0] < 0.5,
@@ -96,21 +103,23 @@ def sample_camera_rays(scene: FlatScene, camera: int, width: int,
                       1.0 - jnp.sqrt(2.0 - 2.0 * puv[..., 1])),
         ], axis=-1) + 0.5
         uv = jnp.stack([(i + fuv[..., 0]) / width,
-                        (j + fuv[..., 1]) / height], axis=-1)
+                        (j + fuv[..., 1]) / full_height], axis=-1)
     ro, rd = eval_camera(scene, camera, uv, SMP.sample_disk(luv))
     return ro, rd, rngs
 
 
 def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                 meta: LightsMeta, params: TraceParams, width: int,
-                height: int):
-    """One sample for every pixel + accumulation. Traced under jit."""
+                height: int, row_offset=0, full_height: int = None):
+    """One sample for every pixel (or row block) + accumulation.
+    Traced under jit; `row_offset`/`full_height` support tile sharding."""
     builder = get_sampler_builder(params.sampler)
     sampler = builder(scene, lights, meta, params,
                       intersect_scene_bruteforce)
 
     ro, rd, rngs = sample_camera_rays(
-        scene, params.camera, width, height, state.rng, params.tentfilter)
+        scene, params.camera, width, height, state.rng, params.tentfilter,
+        row_offset=row_offset, full_height=full_height)
     radiance, hit, albedo, normal, rngs = sampler(ro, rd, rngs)
 
     # clamp + nan scrub (yocto_trace.cpp:1471-1475)
