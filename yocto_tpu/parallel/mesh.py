@@ -53,6 +53,11 @@ class DistributedRenderer:
         self.scene_host = scene
         self.flat = compile_scene(scene)
         self.lights, self.lights_meta = make_trace_lights(scene)
+        if params.bruteforce:
+            self.bvh = None
+        else:
+            from ..trace.bvh import build_scene_bvh
+            self.bvh = build_scene_bvh(scene, params.highqualitybvh)
         self.width, self.height = render_size(scene, params)
         ndev = self.mesh.devices.size
         if self.height % ndev != 0:
@@ -72,19 +77,31 @@ class DistributedRenderer:
         replicated = jax.tree.map(lambda _: P(), self.flat)
         lights_rep = jax.tree.map(lambda _: P(), self.lights)
 
-        def shard_step(flat, lights, state):
+        bvh_rep = jax.tree.map(lambda _: P(), self.bvh) \
+            if self.bvh is not None else None
+
+        def shard_step(flat, lights, bvh, state):
             # Each shard renders its own row block. Pixel indices must be
             # globally correct so camera uvs match the single-chip render.
             tile = jax.lax.axis_index("tiles")
             return _one_sample(flat, lights, state, meta, params, width,
                                rows_per, row_offset=tile * rows_per,
-                               full_height=height)
+                               full_height=height, bvh=bvh)
 
-        self._step = jax.jit(shard_map(
-            shard_step, mesh=mesh,
-            in_specs=(replicated, lights_rep, state_spec),
-            out_specs=state_spec,
-            check_rep=False))
+        if self.bvh is not None:
+            self._step = jax.jit(shard_map(
+                shard_step, mesh=mesh,
+                in_specs=(replicated, lights_rep, bvh_rep, state_spec),
+                out_specs=state_spec,
+                check_rep=False))
+        else:
+            step_nobvh = lambda flat, lights, state: shard_step(
+                flat, lights, None, state)
+            self._step = jax.jit(shard_map(
+                step_nobvh, mesh=mesh,
+                in_specs=(replicated, lights_rep, state_spec),
+                out_specs=state_spec,
+                check_rep=False))
 
         self._ndev = ndev
         self._rows_per = rows_per
@@ -105,6 +122,8 @@ class DistributedRenderer:
         return jax.tree.map(jax.device_put, state, shardings)
 
     def sample(self, state: TraceState) -> TraceState:
+        if self.bvh is not None:
+            return self._step(self.flat, self.lights, self.bvh, state)
         return self._step(self.flat, self.lights, state)
 
     def render(self, nsamples=None) -> TraceState:

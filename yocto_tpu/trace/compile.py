@@ -52,6 +52,7 @@ class FlatScene(NamedTuple):
     shape_has_colors: jax.Array     # [S] bool
     # instances
     inst_frame: jax.Array   # [I,4,3]
+    inst_inv_frame: jax.Array  # [I,4,3] full (non-rigid) inverse
     inst_shape: jax.Array   # [I] i32
     inst_material: jax.Array  # [I] i32
     # materials SoA
@@ -174,6 +175,12 @@ def compile_scene(scene: SceneData) -> FlatScene:
                        if scene.instances else np.zeros((0, 4, 3), np.float32))
     if not scene.instances:
         inst_frame[:, :3, :3] = np.eye(3, dtype=np.float32)[None]
+    # full inverses support scaled instance frames (the reference uses
+    # inverse(frame, non_rigid=true) in intersect_scene_bvh)
+    rot = inst_frame[:, :3, :]
+    inv_rot = np.linalg.inv(rot.astype(np.float64)).astype(np.float32)
+    inv_o = -np.einsum("ij,ijk->ik", inst_frame[:, 3, :], inv_rot)
+    inst_inv_frame = np.concatenate([inv_rot, inv_o[:, None, :]], axis=1)
     inst_shape = _pad1(np.asarray(
         [i.shape for i in scene.instances], np.int32))
     inst_material = _pad1(np.asarray(
@@ -270,8 +277,8 @@ def compile_scene(scene: SceneData) -> FlatScene:
         shape_has_normals=j(_pad1(np.asarray(has_n, bool))),
         shape_has_texcoords=j(_pad1(np.asarray(has_t, bool))),
         shape_has_colors=j(_pad1(np.asarray(has_c, bool))),
-        inst_frame=j(inst_frame), inst_shape=j(inst_shape),
-        inst_material=j(inst_material),
+        inst_frame=j(inst_frame), inst_inv_frame=j(inst_inv_frame),
+        inst_shape=j(inst_shape), inst_material=j(inst_material),
         mat_type=j(mat_type), mat_emission=j(mat_emission),
         mat_color=j(mat_color), mat_roughness=j(mat_roughness),
         mat_metallic=j(mat_metallic), mat_ior=j(mat_ior),

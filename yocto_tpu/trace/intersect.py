@@ -62,15 +62,16 @@ def intersect_scene_bruteforce(scene: FlatScene, ro, rd,
                                tmin=RAY_EPS, tmax=M.flt_max
                                ) -> SceneIntersection:
     """Closest hit over all candidates; ro/rd: [R,3]."""
-    frames = scene.inst_frame[scene.cand_inst]      # [C,4,3]
+    inv = scene.inst_inv_frame[scene.cand_inst]     # [C,4,3]
     verts = scene.elements[scene.cand_elem]         # [C,4]
     p = scene.positions[verts]                      # [C,4,3]
     rads = scene.radius[verts]                      # [C,4]
     shape = scene.inst_shape[scene.cand_inst]
     kind = scene.shape_kind[shape]                  # [C]
 
-    local_o = M.transform_point_inverse(frames[None], ro[:, None])  # [R,C,3]
-    local_d = M.transform_vector_inverse(frames[None], rd[:, None])
+    local_o = jnp.einsum("ri,cij->rcj", ro, inv[:, :3, :]) \
+        + inv[None, :, 3, :]                                    # [R,C,3]
+    local_d = jnp.einsum("ri,cij->rcj", rd, inv[:, :3, :])
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
                               local_o.shape[:-1])
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
@@ -109,9 +110,10 @@ def intersect_instance_elements(scene: FlatScene, instance, ro, rd,
     start = scene.shape_elem_start[shape]           # [R]
     count = scene.shape_elem_count[shape]           # [R]
     kind = scene.shape_kind[shape]                  # [R]
-    frames = scene.inst_frame[instance]             # [R,4,3]
-    local_o = M.transform_point_inverse(frames, ro)
-    local_d = M.transform_vector_inverse(frames, rd)
+    inv = scene.inst_inv_frame[instance]            # [R,4,3]
+    local_o = jnp.einsum("...i,...ij->...j", ro, inv[..., :3, :]) \
+        + inv[..., 3, :]
+    local_d = jnp.einsum("...i,...ij->...j", rd, inv[..., :3, :])
 
     ks = jnp.arange(max_elems, dtype=jnp.int32)     # [K]
     gelem = start[:, None] + jnp.minimum(ks[None, :], count[:, None] - 1)

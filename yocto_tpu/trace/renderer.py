@@ -110,12 +110,19 @@ def sample_camera_rays(scene: FlatScene, camera: int, width: int,
 
 def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                 meta: LightsMeta, params: TraceParams, width: int,
-                height: int, row_offset=0, full_height: int = None):
+                height: int, row_offset=0, full_height: int = None,
+                bvh=None):
     """One sample for every pixel (or row block) + accumulation.
-    Traced under jit; `row_offset`/`full_height` support tile sharding."""
+    Traced under jit; `row_offset`/`full_height` support tile sharding.
+    `bvh` (FlatBvh) selects the accelerated intersector; None = brute
+    force."""
+    if bvh is None:
+        intersect_fn = intersect_scene_bruteforce
+    else:
+        from .bvh import make_bvh_intersector
+        intersect_fn = make_bvh_intersector(bvh)
     builder = get_sampler_builder(params.sampler)
-    sampler = builder(scene, lights, meta, params,
-                      intersect_scene_bruteforce)
+    sampler = builder(scene, lights, meta, params, intersect_fn)
 
     ro, rd, rngs = sample_camera_rays(
         scene, params.camera, width, height, state.rng, params.tentfilter,
@@ -172,13 +179,18 @@ class Renderer:
         self.flat = compile_scene(scene)
         self.lights, self.lights_meta = make_trace_lights(scene)
         self.width, self.height = render_size(scene, params)
+        if params.bruteforce:
+            self.bvh = None
+        else:
+            from .bvh import build_scene_bvh
+            self.bvh = build_scene_bvh(scene, params.highqualitybvh)
 
         meta, width, height = self.lights_meta, self.width, self.height
 
         @jax.jit
-        def step(flat, lights, state):
+        def step(flat, lights, bvh, state):
             return _one_sample(flat, lights, state, meta, params,
-                               width, height)
+                               width, height, bvh=bvh)
 
         self._step = step
 
@@ -186,7 +198,7 @@ class Renderer:
         return make_trace_state(self.scene_host, self.params)
 
     def sample(self, state: TraceState) -> TraceState:
-        return self._step(self.flat, self.lights, state)
+        return self._step(self.flat, self.lights, self.bvh, state)
 
     def render(self, nsamples: Optional[int] = None,
                callback=None) -> TraceState:
