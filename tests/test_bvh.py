@@ -1,0 +1,79 @@
+"""BVH build + traversal tests: native builder vs NumPy oracle, and
+BVH traversal vs brute-force intersection."""
+
+import numpy as np
+
+from yocto_tpu.models.examples import make_cornellbox
+from yocto_tpu.models.scene import InstanceData
+from yocto_tpu.ops import bvh as HB
+
+
+def _random_bboxes(n, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    sizes = rng.uniform(0.01, 0.1, (n, 3)).astype(np.float32)
+    return np.stack([centers - sizes, centers + sizes], axis=1)
+
+
+def test_native_matches_numpy_builder():
+    from yocto_tpu.native import build_bvh_native
+
+    bboxes = _random_bboxes(500)
+    for hq in (False, True):
+        ref = HB.make_bvh(bboxes, hq)
+        native = build_bvh_native(bboxes, hq)
+        if native is None:  # toolchain unavailable: numpy fallback only
+            return
+        np.testing.assert_array_equal(native.start, ref.start)
+        np.testing.assert_array_equal(native.num, ref.num)
+        np.testing.assert_array_equal(native.axis, ref.axis)
+        np.testing.assert_array_equal(native.internal, ref.internal)
+        np.testing.assert_array_equal(native.primitives, ref.primitives)
+        np.testing.assert_allclose(native.bbox_min, ref.bbox_min)
+        np.testing.assert_allclose(native.bbox_max, ref.bbox_max)
+
+
+def test_bvh_hits_match_bruteforce():
+    import jax.numpy as jnp
+
+    from yocto_tpu.trace.bvh import build_scene_bvh, make_bvh_intersector
+    from yocto_tpu.trace.compile import compile_scene
+    from yocto_tpu.trace.intersect import intersect_scene_bruteforce
+
+    scene_host = make_cornellbox()
+    # add a scaled/rotated instance to exercise non-rigid transforms
+    th = 0.7
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32) * 0.6
+    scene_host.instances.append(InstanceData(
+        frame=np.concatenate([rot, np.array([[0.3, 0.4, 0.1]], np.float32)]),
+        shape=5, material=5))
+    scene_host.instance_names.append("extra")
+    scene = compile_scene(scene_host)
+    bvh = build_scene_bvh(scene_host)
+    intersect = make_bvh_intersector(bvh)
+
+    rng = np.random.default_rng(11)
+    n = 512
+    ro = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+                     * np.array([1, 0.5, 1], np.float32)
+                     + np.array([0, 1, 0], np.float32))
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+
+    a = intersect_scene_bruteforce(scene, ro, rd)
+    b = intersect(scene, ro, rd)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    # coplanar surfaces (the boxes sit ON the floor) create exact-distance
+    # ties where traversal order picks a different but equally-near hit;
+    # require identical ids except at ties, and matching distances always
+    same = (np.asarray(a.instance) == np.asarray(b.instance)) \
+        & (np.asarray(a.element) == np.asarray(b.element))
+    tie = np.isclose(np.asarray(a.distance), np.asarray(b.distance),
+                     rtol=1e-5)
+    assert np.all(same | tie)
+    np.testing.assert_allclose(np.asarray(a.distance),
+                               np.asarray(b.distance), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.uv)[same],
+                               np.asarray(b.uv)[same], rtol=1e-5, atol=1e-6)

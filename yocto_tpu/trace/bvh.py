@@ -56,12 +56,22 @@ class FlatBvh(NamedTuple):
     shape_prim_offset: jax.Array  # [S] offset into s_prims
 
 
+def _make_bvh(bboxes, highquality, max_prims=HB.BVH_MAX_PRIMS):
+    """Native C++ builder when available, NumPy fallback."""
+    from ..native import build_bvh_native
+
+    built = build_bvh_native(bboxes, highquality, max_prims)
+    if built is not None:
+        return built
+    return HB.make_bvh(bboxes, highquality, max_prims)
+
+
 def build_scene_bvh(scene: SceneData, highquality: bool = False) -> FlatBvh:
     """Host build of the two-level BVH -> flat device arrays."""
     shape_bvhs = []
     for shape in scene.shapes:
         bboxes = HB.shape_element_bounds(shape)
-        shape_bvhs.append(HB.make_bvh(bboxes, highquality))
+        shape_bvhs.append(_make_bvh(bboxes, highquality))
 
     # instance bboxes from transformed shape roots (yocto_bvh.cpp:380-396)
     inst_bboxes = np.zeros((len(scene.instances), 2, 3), np.float32)
@@ -71,7 +81,7 @@ def build_scene_bvh(scene: SceneData, highquality: bool = False) -> FlatBvh:
                                    sb.bbox_min[0], sb.bbox_max[0])
         inst_bboxes[idx, 0] = lo
         inst_bboxes[idx, 1] = hi
-    obvh = HB.make_bvh(inst_bboxes, highquality, max_prims=1)
+    obvh = _make_bvh(inst_bboxes, highquality, max_prims=1)
 
     # concatenate shape node pools; element prim ids become global
     node_off, prim_off = [], []
