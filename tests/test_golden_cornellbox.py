@@ -36,6 +36,10 @@ def _render(sampler, res, spp, bounces):
      1e-3),
     ("cornellbox_furnace_64x64_4spp.exr", SamplerType.furnace, 64, 4, 4,
      2e-4),
+    ("cornellbox_pathdirect_64x64_8spp.exr", SamplerType.pathdirect, 64, 8,
+     4, 2e-4),
+    ("cornellbox_pathmis_64x64_8spp.exr", SamplerType.pathmis, 64, 8, 4,
+     2e-4),
 ])
 def test_golden(name, sampler, res, spp, bounces, mean_tol):
     ref = load_exr(os.path.join(GOLDENS, name))[..., :3]

@@ -58,6 +58,7 @@ class PathState(NamedTuple):
     hit: jax.Array
     hit_albedo: jax.Array
     hit_normal: jax.Array
+    next_emission: jax.Array  # bool; used by pathdirect/pathmis
     it: jax.Array          # scalar iteration counter
 
 
@@ -75,6 +76,7 @@ def _init_state(ro, rd, rngs) -> PathState:
         vol_depth=jnp.zeros(Rn, jnp.int32),
         max_roughness=jnp.zeros(Rn, jnp.float32),
         hit=jnp.zeros(Rn, bool), hit_albedo=z3, hit_normal=z3,
+        next_emission=jnp.ones(Rn, bool),
         it=jnp.zeros((), jnp.int32))
 
 
@@ -755,8 +757,506 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
     return run
 
 
+
+def _nee_emission(scene, intersect_fn, position, incoming):
+    """Emission seen along (position, incoming): environment on miss, or the
+    hit point's facing emission (shared by pathdirect/pathmis NEE)."""
+    isec = intersect_fn(scene, position, incoming)
+    inst = jnp.maximum(isec.instance, 0)
+    shape = scene.inst_shape[inst]
+    gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+    mat = eval_material(scene, inst, gelem, isec.uv)
+    nrm = eval_shading_normal(scene, inst, gelem, isec.uv, -incoming)
+    hit_em = B.eval_emission(mat, nrm, -incoming)
+    if scene.env_frame.shape[0] > 0:
+        env = eval_environment(scene, incoming)
+    else:
+        env = jnp.zeros_like(position)
+    return _where3(isec.hit, hit_em, env), isec
+
+
+def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
+                            meta: LightsMeta, params: TraceParams,
+                            intersect_fn):
+    """`trace_pathdirect` (yocto_trace.cpp:599-767): NEE at every rough
+    vertex + 50/50 MIS continuation; emission gated by next_emission."""
+
+    envhidden = params.envhidden
+    has_env = scene.env_frame.shape[0] > 0
+    has_lights = meta.n_lights > 0
+    max_iters = params.bounces + 130
+
+    def body(st: PathState) -> PathState:
+        isec = intersect_fn(scene, st.ro, st.rd)
+        act = st.alive
+        hit_l = act & isec.hit
+
+        miss = act & ~isec.hit
+        if has_env:
+            env_ok = miss & ((st.bounce > 0) | (not envhidden)) \
+                & st.next_emission
+            env = eval_environment(scene, st.rd)
+            st = st._replace(radiance=_where3(
+                env_ok, st.radiance + st.weight * env, st.radiance))
+        st = st._replace(alive=act & isec.hit)
+
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+
+        in_stack = hit_l & (st.vol_depth > 0)
+        r_tr2, rng = R.rand1f_if(st.rng, in_stack)
+        r_tr1, rng = R.rand1f_if(rng, in_stack)
+        top_density, top_scat, top_aniso = _vol_top(st)
+        tdist = SH.sample_transmittance(top_density, isec.distance,
+                                        r_tr1, r_tr2)
+        trans = SH.eval_transmittance(top_density, tdist)
+        tpdf = SH.sample_transmittance_pdf(top_density, tdist, isec.distance)
+        safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+        weight = _where3(in_stack, st.weight * trans / safe_tpdf, st.weight)
+        in_volume = in_stack & (tdist < isec.distance)
+        st = st._replace(weight=weight, rng=rng)
+
+        surf = hit_l & ~in_volume
+        outgoing = -st.rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        material = eval_material(scene, inst, gelem, isec.uv)
+
+        if params.nocaustics:
+            max_roughness = jnp.where(
+                surf, jnp.maximum(material.roughness, st.max_roughness),
+                st.max_roughness)
+            material = material._replace(
+                roughness=jnp.where(surf, max_roughness, material.roughness))
+            st = st._replace(max_roughness=max_roughness)
+
+        op_lt1 = surf & (material.opacity < 1.0)
+        r_op, rng = R.rand1f_if(st.rng, op_lt1)
+        op_skip = op_lt1 & (r_op >= material.opacity)
+        op_die = op_skip & (st.opbounce > 128)
+        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+        alive = st.alive & ~op_die
+        shade = surf & ~op_skip
+        st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+
+        first = shade & (st.bounce == 0)
+        st = st._replace(
+            hit=st.hit | first,
+            hit_albedo=_where3(first, material.color, st.hit_albedo),
+            hit_normal=_where3(first, normal, st.hit_normal))
+
+        emis = B.eval_emission(material, normal, outgoing)
+        st = st._replace(radiance=_where3(
+            shade & st.next_emission, st.radiance + st.weight * emis,
+            st.radiance))
+
+        delta = is_delta_point(material)
+        nd = shade & ~delta
+
+        # --- direct lighting (NEE) on rough vertices
+        if has_lights:
+            ruv_d, rng = R.rand2f_if(st.rng, nd)
+            rel_d, rng = R.rand1f_if(rng, nd)
+            rl_d, rng = R.rand1f_if(rng, nd)
+            inc_d = sample_lights(scene, lights, meta, position,
+                                  rl_d, rel_d, ruv_d)
+            pdf_d = sample_lights_pdf(scene, lights, meta, position, inc_d)
+            f_d = B.eval_bsdfcos(material, normal, outgoing, inc_d)
+            ok_d = nd & jnp.any(f_d != 0.0, axis=-1) & (pdf_d > 0.0)
+            emission_d, _ = _nee_emission(scene, intersect_fn, position,
+                                          inc_d)
+            safe_pd = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+            st = st._replace(rng=rng, radiance=_where3(
+                ok_d, st.radiance + st.weight * f_d * emission_d / safe_pd,
+                st.radiance))
+        next_emission = jnp.where(shade, delta, st.next_emission)
+        st = st._replace(next_emission=next_emission)
+
+        # --- continuation (same as trace_path)
+        r_choice, rng = R.rand1f_if(st.rng, nd)
+        use_bsdf = r_choice < 0.5
+        rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
+        rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
+        inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        if has_lights:
+            ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
+            rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            inc_light = sample_lights(scene, lights, meta, position,
+                                      rl, rel, ruv)
+            incoming_nd = _where3(use_bsdf, inc_bsdf, inc_light)
+        else:
+            incoming_nd = inc_bsdf
+        nd_zero = nd & jnp.all(incoming_nd == 0.0, axis=-1)
+        nd_ok = nd & ~nd_zero
+        f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd)
+        pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd)
+        if has_lights:
+            pdf_l = sample_lights_pdf(scene, lights, meta, position,
+                                      incoming_nd)
+            pdf_nd = 0.5 * pdf_b + 0.5 * pdf_l
+        else:
+            pdf_nd = 0.5 * pdf_b
+        safe_pdf_nd = jnp.where(pdf_nd == 0.0, 1.0, pdf_nd)[..., None]
+        weight = _where3(nd_ok, st.weight * f_nd / safe_pdf_nd, st.weight)
+
+        dl = shade & delta
+        r_delta, rng = R.rand1f_if(rng, dl)
+        inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
+        dl_zero = dl & jnp.all(inc_delta == 0.0, axis=-1)
+        dl_ok = dl & ~dl_zero
+        f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
+        pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
+        safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+        weight = _where3(dl_ok, weight * f_dl / safe_pdf_dl, weight)
+
+        incoming = _where3(delta, inc_delta, incoming_nd)
+        alive = st.alive & ~(nd_zero | dl_zero)
+        st = st._replace(weight=weight, rng=rng, alive=alive)
+
+        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
+        vol_change = shade & alive & crossed \
+            & is_volumetric_instance(scene, inst)
+        push = vol_change & (st.vol_depth == 0)
+        pop = vol_change & (st.vol_depth > 0)
+        st = _vol_push(st, push, material.density, material.scattering,
+                       material.scanisotropy)
+        st = _vol_pop(st, pop)
+
+        ro = _where3(shade, position, st.ro)
+        rd = _where3(shade, incoming, st.rd)
+        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        st = st._replace(ro=ro, rd=rd)
+
+        # --- volume interaction
+        vol = hit_l & in_volume & st.alive
+        position_v = st.ro + st.rd * tdist[..., None]
+        outgoing_v = -st.rd
+        r_choice_v, rng = R.rand1f_if(st.rng, vol)
+        use_scat = r_choice_v < 0.5
+        rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+        rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+        inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+        if has_lights:
+            ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+            rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+            rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+            inc_light_v = sample_lights(scene, lights, meta, position_v,
+                                        rl_v, rel_v, ruv_v)
+            incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+        else:
+            incoming_v = inc_scat
+        v_zero = vol & jnp.all(incoming_v == 0.0, axis=-1)
+        v_ok = vol & ~v_zero
+        f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                outgoing_v, incoming_v)
+        pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                         outgoing_v, incoming_v)
+        if has_lights:
+            pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
+                                       incoming_v)
+            pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+        else:
+            pdf_v = 0.5 * pdf_vs
+        safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+        weight = _where3(v_ok, st.weight * f_v / safe_pdf_v, st.weight)
+        alive = st.alive & ~v_zero
+        ro = _where3(v_ok, position_v, st.ro)
+        rd = _where3(v_ok, incoming_v, st.rd)
+        st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd, rng=rng)
+
+        processed = (shade | vol) & st.alive
+        wzero = jnp.all(st.weight == 0.0, axis=-1)
+        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        alive = st.alive & ~(processed & (wzero | wbad))
+        st = st._replace(alive=alive)
+
+        rr = processed & st.alive & (st.bounce > 3)
+        rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(st.weight))
+        r_rr, rng = R.rand1f_if(st.rng, rr)
+        rr_die = rr & (r_rr >= rr_prob)
+        safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+        weight = _where3(rr & ~rr_die, st.weight / safe_rr[..., None],
+                         st.weight)
+        alive = st.alive & ~rr_die
+        st = st._replace(weight=weight, alive=alive, rng=rng)
+
+        consumed = (shade | vol) & st.alive
+        bounce = jnp.where(consumed, st.bounce + 1, st.bounce)
+        alive = st.alive & jnp.where(
+            shade | vol | op_skip,
+            jnp.where(op_skip, True, bounce < params.bounces),
+            st.alive)
+        st = st._replace(bounce=bounce, alive=alive, it=st.it + 1)
+        return st
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.it < max_iters)
+
+    def run(ro, rd, rngs):
+        st = jax.lax.while_loop(cond, body, _init_state(ro, rd, rngs))
+        return (st.radiance, st.hit, st.hit_albedo, st.hit_normal, st.rng)
+
+    return run
+
+
+def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
+                         meta: LightsMeta, params: TraceParams,
+                         intersect_fn):
+    """`trace_pathmis` (yocto_trace.cpp:770-950): full power-2 MIS for both
+    strategies at every rough vertex; the BSDF-strategy continuation reuses
+    the BSDF sample direction (the reference also caches that intersection;
+    re-intersecting the identical ray yields the identical hit)."""
+
+    envhidden = params.envhidden
+    has_env = scene.env_frame.shape[0] > 0
+    has_lights = meta.n_lights > 0
+    max_iters = params.bounces + 130
+
+    def mis_heuristic(this_pdf, other_pdf):
+        return (this_pdf * this_pdf) / (
+            this_pdf * this_pdf + other_pdf * other_pdf)
+
+    def body(st: PathState) -> PathState:
+        isec = intersect_fn(scene, st.ro, st.rd)
+        act = st.alive
+        hit_l = act & isec.hit
+
+        miss = act & ~isec.hit
+        if has_env:
+            env_ok = miss & ((st.bounce > 0) | (not envhidden)) \
+                & st.next_emission
+            env = eval_environment(scene, st.rd)
+            st = st._replace(radiance=_where3(
+                env_ok, st.radiance + st.weight * env, st.radiance))
+        st = st._replace(alive=act & isec.hit)
+
+        inst = jnp.maximum(isec.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+
+        in_stack = hit_l & (st.vol_depth > 0)
+        r_tr2, rng = R.rand1f_if(st.rng, in_stack)
+        r_tr1, rng = R.rand1f_if(rng, in_stack)
+        top_density, top_scat, top_aniso = _vol_top(st)
+        tdist = SH.sample_transmittance(top_density, isec.distance,
+                                        r_tr1, r_tr2)
+        trans = SH.eval_transmittance(top_density, tdist)
+        tpdf = SH.sample_transmittance_pdf(top_density, tdist, isec.distance)
+        safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+        weight = _where3(in_stack, st.weight * trans / safe_tpdf, st.weight)
+        in_volume = in_stack & (tdist < isec.distance)
+        st = st._replace(weight=weight, rng=rng)
+
+        surf = hit_l & ~in_volume
+        outgoing = -st.rd
+        position = eval_shading_position(scene, inst, gelem, isec.uv,
+                                         outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        material = eval_material(scene, inst, gelem, isec.uv)
+
+        if params.nocaustics:
+            max_roughness = jnp.where(
+                surf, jnp.maximum(material.roughness, st.max_roughness),
+                st.max_roughness)
+            material = material._replace(
+                roughness=jnp.where(surf, max_roughness, material.roughness))
+            st = st._replace(max_roughness=max_roughness)
+
+        op_lt1 = surf & (material.opacity < 1.0)
+        r_op, rng = R.rand1f_if(st.rng, op_lt1)
+        op_skip = op_lt1 & (r_op >= material.opacity)
+        op_die = op_skip & (st.opbounce > 128)
+        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+        alive = st.alive & ~op_die
+        shade = surf & ~op_skip
+        st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+
+        first = shade & (st.bounce == 0)
+        st = st._replace(
+            hit=st.hit | first,
+            hit_albedo=_where3(first, material.color, st.hit_albedo),
+            hit_normal=_where3(first, normal, st.hit_normal))
+
+        emis = B.eval_emission(material, normal, outgoing)
+        st = st._replace(radiance=_where3(
+            shade & st.next_emission, st.radiance + st.weight * emis,
+            st.radiance))
+
+        delta = is_delta_point(material)
+        nd = shade & ~delta
+
+        # --- MIS: light strategy then bsdf strategy
+        # light strategy
+        ruv_l, rng = R.rand2f_if(st.rng, nd)
+        rel_l, rng = R.rand1f_if(rng, nd)
+        rl_l, rng = R.rand1f_if(rng, nd)
+        if has_lights:
+            inc_l = sample_lights(scene, lights, meta, position,
+                                  rl_l, rel_l, ruv_l)
+        else:
+            inc_l = jnp.zeros_like(position)
+        l_zero = nd & jnp.all(inc_l == 0.0, axis=-1)
+        l_live = nd & ~l_zero
+        f_l = B.eval_bsdfcos(material, normal, outgoing, inc_l)
+        if has_lights:
+            lpdf_l = sample_lights_pdf(scene, lights, meta, position, inc_l)
+        else:
+            lpdf_l = jnp.zeros(position.shape[0], jnp.float32)
+        bpdf_l = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_l)
+        safe_lpdf = jnp.where(lpdf_l == 0.0, 1.0, lpdf_l)
+        misw_l = mis_heuristic(lpdf_l, bpdf_l) / safe_lpdf
+        misw_l = jnp.where(lpdf_l == 0.0, 0.0, misw_l)
+        ok_l = l_live & jnp.any(f_l != 0.0, axis=-1) & (misw_l != 0.0)
+        em_l, _ = _nee_emission(scene, intersect_fn, position, inc_l)
+        st = st._replace(rng=rng, radiance=_where3(
+            ok_l, st.radiance + st.weight * f_l * em_l * misw_l[..., None],
+            st.radiance))
+
+        # bsdf strategy (draws only if the light sample was nonzero,
+        # matching the reference's for-loop break)
+        rn2_b, rng = R.rand2f_if(st.rng, l_live)
+        rnl_b, rng = R.rand1f_if(rng, l_live)
+        inc_b = B.sample_bsdfcos(material, normal, outgoing, rnl_b, rn2_b)
+        inc_b = _where3(l_live, inc_b, jnp.zeros_like(inc_b))
+        b_zero = l_live & jnp.all(inc_b == 0.0, axis=-1)
+        b_live = l_live & ~b_zero
+        f_b = B.eval_bsdfcos(material, normal, outgoing, inc_b)
+        if has_lights:
+            lpdf_b = sample_lights_pdf(scene, lights, meta, position, inc_b)
+        else:
+            lpdf_b = jnp.zeros(position.shape[0], jnp.float32)
+        bpdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_b)
+        safe_bpdf = jnp.where(bpdf_b == 0.0, 1.0, bpdf_b)
+        misw_b = mis_heuristic(bpdf_b, lpdf_b) / safe_bpdf
+        misw_b = jnp.where(bpdf_b == 0.0, 0.0, misw_b)
+        ok_b = b_live & jnp.any(f_b != 0.0, axis=-1) & (misw_b != 0.0)
+        em_b, _ = _nee_emission(scene, intersect_fn, position, inc_b)
+        st = st._replace(rng=rng, radiance=_where3(
+            ok_b, st.radiance + st.weight * f_b * em_b * misw_b[..., None],
+            st.radiance))
+
+        # indirect continuation: BSDF direction with bsdf-only pdf; a zero
+        # incoming drives weight to 0/0 -> NaN -> the weight check kills the
+        # lane, exactly like the reference
+        incoming_nd = inc_b
+        safe_bpdf3 = safe_bpdf[..., None]
+        w_nd = st.weight * f_b / safe_bpdf3
+        w_nd = jnp.where((bpdf_b == 0.0)[..., None],
+                         jnp.full_like(w_nd, jnp.nan), w_nd)
+        weight = _where3(nd, w_nd, st.weight)
+
+        dl = shade & delta
+        r_delta, rng = R.rand1f_if(rng, dl)
+        inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
+        f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
+        pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
+        safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+        w_dl = weight * f_dl / safe_pdf_dl
+        w_dl = jnp.where((pdf_dl == 0.0)[..., None],
+                         jnp.full_like(w_dl, jnp.nan), w_dl)
+        weight = _where3(dl, w_dl, weight)
+
+        next_emission = jnp.where(shade, delta, st.next_emission)
+        incoming = _where3(delta, inc_delta, incoming_nd)
+        st = st._replace(weight=weight, rng=rng,
+                         next_emission=next_emission)
+
+        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
+        vol_change = shade & st.alive & crossed \
+            & is_volumetric_instance(scene, inst)
+        push = vol_change & (st.vol_depth == 0)
+        pop = vol_change & (st.vol_depth > 0)
+        st = _vol_push(st, push, material.density, material.scattering,
+                       material.scanisotropy)
+        st = _vol_pop(st, pop)
+
+        ro = _where3(shade, position, st.ro)
+        rd = _where3(shade, incoming, st.rd)
+        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        st = st._replace(ro=ro, rd=rd)
+
+        # --- volume interaction
+        vol = hit_l & in_volume & st.alive
+        position_v = st.ro + st.rd * tdist[..., None]
+        outgoing_v = -st.rd
+        r_choice_v, rng = R.rand1f_if(st.rng, vol)
+        use_scat = r_choice_v < 0.5
+        rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+        rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+        inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+        if has_lights:
+            ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+            rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+            rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+            inc_light_v = sample_lights(scene, lights, meta, position_v,
+                                        rl_v, rel_v, ruv_v)
+            incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+        else:
+            incoming_v = inc_scat
+        f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                outgoing_v, incoming_v)
+        pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                         outgoing_v, incoming_v)
+        if has_lights:
+            pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
+                                       incoming_v)
+            pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+        else:
+            pdf_v = 0.5 * pdf_vs
+        safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+        w_v = st.weight * f_v / safe_pdf_v
+        w_v = jnp.where((pdf_v == 0.0)[..., None],
+                        jnp.full_like(w_v, jnp.nan), w_v)
+        weight = _where3(vol, w_v, st.weight)
+        next_emission = jnp.where(vol, True, st.next_emission)
+        ro = _where3(vol, position_v, st.ro)
+        rd = _where3(vol, incoming_v, st.rd)
+        st = st._replace(weight=weight, ro=ro, rd=rd, rng=rng,
+                         next_emission=next_emission)
+
+        processed = (shade | vol) & st.alive
+        wzero = jnp.all(st.weight == 0.0, axis=-1)
+        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        alive = st.alive & ~(processed & (wzero | wbad))
+        st = st._replace(alive=alive)
+
+        rr = processed & st.alive & (st.bounce > 3)
+        rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(st.weight))
+        r_rr, rng = R.rand1f_if(st.rng, rr)
+        rr_die = rr & (r_rr >= rr_prob)
+        safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+        weight = _where3(rr & ~rr_die, st.weight / safe_rr[..., None],
+                         st.weight)
+        alive = st.alive & ~rr_die
+        st = st._replace(weight=weight, alive=alive, rng=rng)
+
+        consumed = (shade | vol) & st.alive
+        bounce = jnp.where(consumed, st.bounce + 1, st.bounce)
+        alive = st.alive & jnp.where(
+            shade | vol | op_skip,
+            jnp.where(op_skip, True, bounce < params.bounces),
+            st.alive)
+        st = st._replace(bounce=bounce, alive=alive, it=st.it + 1)
+        return st
+
+    def cond(st: PathState):
+        return jnp.any(st.alive) & (st.it < max_iters)
+
+    def run(ro, rd, rngs):
+        st = jax.lax.while_loop(cond, body, _init_state(ro, rd, rngs))
+        return (st.radiance, st.hit, st.hit_albedo, st.hit_normal, st.rng)
+
+    return run
+
+
 SAMPLER_BUILDERS = {
     SamplerType.path: make_path_sampler,
+    SamplerType.pathdirect: make_pathdirect_sampler,
+    SamplerType.pathmis: make_pathmis_sampler,
+    SamplerType.pathtest: make_path_sampler,
     SamplerType.naive: make_naive_sampler,
     SamplerType.eyelight: make_eyelight_sampler,
     SamplerType.falsecolor: make_falsecolor_sampler,
