@@ -225,8 +225,10 @@ def intersect_bbox(ro, rd_inv, tmin, tmax, bbox_min, bbox_max):
     it_max = (bbox_max - ro) * rd_inv
     lo = jnp.minimum(it_min, it_max)
     hi = jnp.maximum(it_min, it_max)
-    t0 = jnp.maximum(jnp.max(lo, axis=-1), tmin)
-    t1 = jnp.minimum(jnp.min(hi, axis=-1), tmax)
+    t0 = jnp.maximum(
+        jnp.maximum(jnp.maximum(lo[..., 0], lo[..., 1]), lo[..., 2]), tmin)
+    t1 = jnp.minimum(
+        jnp.minimum(jnp.minimum(hi[..., 0], hi[..., 1]), hi[..., 2]), tmax)
     return t0 <= t1 * 1.00000024
 
 

@@ -23,11 +23,17 @@ def vec(*comps):
 
 
 def dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+    # componentwise: reductions over the 3-wide axis compile to separate
+    # (fusion-breaking) reduce kernels on TPU; explicit slices fuse.
+    return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2])
 
 
 def cross(a, b):
-    return jnp.cross(a, b)
+    return jnp.stack([
+        a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+        a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+        a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]], axis=-1)
 
 
 def length(a):
@@ -82,20 +88,29 @@ def lerp(a, b, u):
 
 
 def mean3(a):
-    return jnp.mean(a, axis=-1)
+    return (a[..., 0] + a[..., 1] + a[..., 2]) / 3.0
 
 
 def maxc(a):
     """Max component (yocto `max(vec3f)`)."""
-    return jnp.max(a, axis=-1)
+    return jnp.maximum(jnp.maximum(a[..., 0], a[..., 1]), a[..., 2])
 
 
 def minc(a):
-    return jnp.min(a, axis=-1)
+    return jnp.minimum(jnp.minimum(a[..., 0], a[..., 1]), a[..., 2])
 
 
 def isfinite3(a):
-    return jnp.all(jnp.isfinite(a), axis=-1)
+    return (jnp.isfinite(a[..., 0]) & jnp.isfinite(a[..., 1])
+            & jnp.isfinite(a[..., 2]))
+
+
+def is_zero3(a):
+    return (a[..., 0] == 0.0) & (a[..., 1] == 0.0) & (a[..., 2] == 0.0)
+
+
+def sum3(a):
+    return a[..., 0] + a[..., 1] + a[..., 2]
 
 
 # ----------------------------------------------------------------------------
@@ -127,14 +142,15 @@ def frame_o(f):
 
 
 def transform_point(frame, p):
-    """p.x*X + p.y*Y + p.z*Z + O."""
-    rot = frame[..., :3, :]
-    return jnp.einsum("...i,...ij->...j", p, rot) + frame[..., 3, :]
+    """p.x*X + p.y*Y + p.z*Z + O (componentwise: batched tiny matmuls are
+    slow on TPU, elementwise FMAs are fast)."""
+    return (p[..., 0:1] * frame[..., 0, :] + p[..., 1:2] * frame[..., 1, :]
+            + p[..., 2:3] * frame[..., 2, :] + frame[..., 3, :])
 
 
 def transform_vector(frame, v):
-    rot = frame[..., :3, :]
-    return jnp.einsum("...i,...ij->...j", v, rot)
+    return (v[..., 0:1] * frame[..., 0, :] + v[..., 1:2] * frame[..., 1, :]
+            + v[..., 2:3] * frame[..., 2, :])
 
 
 def transform_direction(frame, d):
@@ -161,13 +177,16 @@ def inverse_frame(frame, non_rigid=False):
 
 def transform_point_inverse(frame, p):
     """Transform by the inverse of a rigid frame without materializing it."""
-    rot = frame[..., :3, :]
-    return jnp.einsum("...j,...ij->...i", p - frame[..., 3, :], rot)
+    d = p - frame[..., 3, :]
+    return jnp.stack([jnp.sum(d * frame[..., 0, :], -1),
+                      jnp.sum(d * frame[..., 1, :], -1),
+                      jnp.sum(d * frame[..., 2, :], -1)], axis=-1)
 
 
 def transform_vector_inverse(frame, v):
-    rot = frame[..., :3, :]
-    return jnp.einsum("...j,...ij->...i", v, rot)
+    return jnp.stack([jnp.sum(v * frame[..., 0, :], -1),
+                      jnp.sum(v * frame[..., 1, :], -1),
+                      jnp.sum(v * frame[..., 2, :], -1)], axis=-1)
 
 
 def basis_fromz(v):

@@ -121,6 +121,49 @@ def rand1u(state: RngState):
     return _advance(state)
 
 
+_GOLDEN_HI = 0x9E3779B9
+_GOLDEN_LO = 0x7F4A7C15
+
+
+def make_rng_offset(seed: int, k, seq_hi, seq_lo) -> RngState:
+    """Device-side generator for (pixel, sample-offset) lanes.
+
+    seed64' = seed + k * 0x9E3779B97F4A7C15 (wrapping), seq = pixel seq.
+    Used by the fast (statistically independent) sampling mode where
+    several samples per pixel run concurrently; the exact mode instead
+    carries sequential per-pixel streams.
+    """
+    k = jnp.asarray(k, _U32)
+    mh, ml = _mul64(jnp.zeros_like(k), k, _u32(_GOLDEN_HI), _u32(_GOLDEN_LO))
+    seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+    sh, sl = _add64(mh, ml, _u32(seed >> 32), _u32(seed & 0xFFFFFFFF))
+    return make_rng((sh, sl), (seq_hi, seq_lo))
+
+
+def make_pixel_seqs(npixels: int):
+    """The per-pixel stream ids of make_trace_state
+    (yocto_trace.cpp:1512-1515) as uint32 limb arrays (hi, lo)."""
+    meta_state, meta_inc = np_make_rng(1301081)
+    with np.errstate(over="ignore"):
+        pows = np.empty(npixels, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if npixels > 1:
+            np.multiply.accumulate(
+                np.full(npixels - 1, _NP_MUL, dtype=np.uint64), out=pows[1:])
+        geo = np.empty(npixels, dtype=np.uint64)
+        geo[0] = np.uint64(0)
+        if npixels > 1:
+            np.add.accumulate(pows[:-1], out=geo[1:])
+        old = pows * meta_state + geo * meta_inc
+        x = (((old >> np.uint64(18)) ^ old) >> np.uint64(27)).astype(np.uint32)
+        r = (old >> np.uint64(59)).astype(np.uint32)
+        outs = (x >> r) | (x << ((np.uint32(32) - r) & np.uint32(31)))
+    seqs = (outs.astype(np.uint64) % np.uint64(0x80000000)) // np.uint64(2) \
+        + np.uint64(1)
+    return (jnp.asarray((seqs >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((seqs & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+
+
 def rand1f(state: RngState):
     """Float in [0,1) via the mantissa trick (yocto_sampling.h:209-218)."""
     bits, state = _advance(state)

@@ -22,7 +22,9 @@ def _dir_from(z, r, phi):
 
 def _rotate(normal, local_dir):
     basis = basis_fromz(normal)
-    return jnp.einsum("...i,...ij->...j", local_dir, basis)
+    return (local_dir[..., 0:1] * basis[..., 0, :]
+            + local_dir[..., 1:2] * basis[..., 1, :]
+            + local_dir[..., 2:3] * basis[..., 2, :])
 
 
 def sample_hemisphere(ruv, normal=None):

@@ -44,7 +44,8 @@ def fresnel_schlick(specular, normal, outgoing):
     cosine = dot(normal, outgoing)
     f = specular + (1.0 - specular) * jnp.power(
         jnp.clip(1.0 - jnp.abs(cosine), 0.0, 1.0), 5.0)[..., None]
-    zero = jnp.all(specular == 0.0, axis=-1, keepdims=True)
+    zero = ((specular[..., 0] == 0.0) & (specular[..., 1] == 0.0)
+            & (specular[..., 2] == 0.0))[..., None]
     return jnp.where(zero, 0.0, f)
 
 
@@ -160,7 +161,9 @@ def sample_microfacet(roughness, normal, rn, ggx=True):
     local = vec(jnp.cos(phi) * jnp.sin(theta),
                 jnp.sin(phi) * jnp.sin(theta), jnp.cos(theta))
     basis = basis_fromz(normal)
-    return jnp.einsum("...i,...ij->...j", local, basis)
+    return (local[..., 0:1] * basis[..., 0, :]
+            + local[..., 1:2] * basis[..., 1, :]
+            + local[..., 2:3] * basis[..., 2, :])
 
 
 def sample_microfacet_pdf(roughness, normal, halfway, ggx=True):
@@ -594,18 +597,19 @@ def eval_transmittance(density, distance):
 
 def sample_transmittance(density, max_distance, rl, rd):
     channel = jnp.clip((rl * 3.0).astype(jnp.int32), 0, 2)
-    dch = jnp.take_along_axis(density, channel[..., None], axis=-1)[..., 0]
+    dch = jnp.where(channel == 0, density[..., 0],
+                    jnp.where(channel == 1, density[..., 1],
+                              density[..., 2]))
     distance = jnp.where(dch == 0.0, jnp.float32(3.4e38),
                          -jnp.log(1.0 - rd) / jnp.where(dch == 0.0, 1.0, dch))
     return jnp.minimum(distance, max_distance)
 
 
 def sample_transmittance_pdf(density, distance, max_distance):
+    from .mathops import sum3
     inside = distance < max_distance
-    pdf_in = jnp.sum(density * jnp.exp(-density * distance[..., None]),
-                     axis=-1) / 3.0
-    pdf_out = jnp.sum(jnp.exp(-density * max_distance[..., None]),
-                      axis=-1) / 3.0
+    pdf_in = sum3(density * jnp.exp(-density * distance[..., None])) / 3.0
+    pdf_out = sum3(jnp.exp(-density * max_distance[..., None])) / 3.0
     return jnp.where(inside, pdf_in, pdf_out)
 
 
@@ -628,7 +632,9 @@ def sample_phasefunction(anisotropy, outgoing, rn):
     phi = 2.0 * pif * rn[..., 0]
     local = vec(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
     basis = basis_fromz(-outgoing)
-    return jnp.einsum("...i,...ij->...j", local, basis)
+    return (local[..., 0:1] * basis[..., 0, :]
+            + local[..., 1:2] * basis[..., 1, :]
+            + local[..., 2:3] * basis[..., 2, :])
 
 
 def sample_phasefunction_pdf(anisotropy, outgoing, incoming):

@@ -145,7 +145,8 @@ def sample_delta_pdf(material: MaterialPoint, normal, outgoing, incoming):
 
 def eval_scattering(material_density, material_scattering, scanisotropy,
                     outgoing, incoming):
-    zero = jnp.all(material_density == 0.0, axis=-1)
+    from ..ops.mathops import is_zero3
+    zero = is_zero3(material_density)
     f = material_scattering * material_density \
         * S.eval_phasefunction(scanisotropy, outgoing, incoming)[..., None]
     return jnp.where(zero[..., None], 0.0, f)
@@ -156,7 +157,8 @@ def sample_scattering(scanisotropy, outgoing, rn):
 
 
 def sample_scattering_pdf(material_density, scanisotropy, outgoing, incoming):
-    zero = jnp.all(material_density == 0.0, axis=-1)
+    from ..ops.mathops import is_zero3
+    zero = is_zero3(material_density)
     return jnp.where(
         zero, 0.0,
         S.sample_phasefunction_pdf(scanisotropy, outgoing, incoming))

@@ -1,19 +1,35 @@
-"""Device BVH traversal: batched two-level closest-hit walk.
+"""Device BVH traversal: stackless threaded (skip-link) two-level walk.
 
-The TPU counterpart of the reference's stack traversal
-(intersect_scene_bvh / intersect_shape_bvh, yocto_bvh.cpp:460-636): all
-rays advance together through a masked `lax.while_loop`, each lane holding
-its own traversal stack in a [R, STACK] register array. The two levels are
-unified into ONE stack: instance-BVH leaves (built with 1 instance/leaf)
-push a sentinel plus the shape-BVH root tagged with a high bit; popping the
-sentinel restores world-space traversal. Closest-hit `tmax` shrinks across
-both levels; rays are transformed into instance space with the full
-(non-rigid) frame inverse without renormalizing the direction, so `t`
-remains a world-space distance — exactly the reference convention
-(yocto_bvh.cpp:602, `inverse(frame, true)`).
+TPU redesign of the reference's stack traversal (intersect_scene_bvh /
+intersect_shape_bvh, yocto_bvh.cpp:460-636). Per-lane stacks need scattered
+writes, which are slow on TPU; instead the host re-orders each BVH into DFS
+(preorder) layout and precomputes a skip link per node (the classic
+"threaded BVH"): traversal state is just the current node index —
 
-Build happens on the host (ops.bvh); this module flattens the node pools
-for device upload and runs the traversal inside jit.
+    next = node + 1            if bbox hit and internal (first child)
+    next = skip[node]          otherwise
+
+On TPU the cost of a `lax.while_loop` body is dominated by the NUMBER of
+fusion-breaking ops (each dynamic gather is one), not by lanes or bytes, so
+everything one iteration needs is packed into exactly THREE gathers:
+
+  1. node row      [Nodes, 8]  — instance-level and shape-level nodes live
+                                 in ONE table addressed by one cursor:
+                                 bmin(3), bmax(3), skip bits, meta bits
+  2. leaf block    [Leaves,64] — the up-to-4 primitives of a shape leaf,
+                                 pre-flattened: 4 x (p0 p1 p2 p3, r0, r1,
+                                 elem-id bits, pad)
+  3. instance row  [I, 16]     — non-rigid inverse frame (12), shape DFS
+                                 root bits, shape kind bits (only used on
+                                 instance entry)
+
+The two levels are linked by an instance register: descending into an
+instance-BVH leaf (1 instance per leaf) swaps in the shape's DFS root and
+the instance-space ray; when the shape walk runs off its subtree
+(skip == -1) the outer walk resumes at the saved outer skip. Closest-hit
+semantics equal the reference (same primitive tests, tmax shrinking across
+levels, non-rigid inverses, world-unit t); only the node visit ORDER
+differs, which cannot change the closest hit.
 """
 
 from __future__ import annotations
@@ -26,34 +42,17 @@ import numpy as np
 
 from ..models.scene import SceneData
 from ..ops import bvh as HB
+from ..ops import geometry as G
 from ..ops import mathops as M
-from .compile import FlatScene
-from .intersect import RAY_EPS, SceneIntersection, _intersect_element
-
-STACK_SIZE = 80
-SHAPE_BIT = jnp.int32(1 << 30)
-SENTINEL = jnp.int32(-2)
+from .compile import (FlatScene, KIND_LINES, KIND_POINTS, KIND_QUADS,
+                      KIND_TRIANGLES)
+from .intersect import RAY_EPS, SceneIntersection
 
 
 class FlatBvh(NamedTuple):
-    # instance-level nodes
-    o_bmin: jax.Array
-    o_bmax: jax.Array
-    o_start: jax.Array
-    o_num: jax.Array
-    o_axis: jax.Array
-    o_internal: jax.Array
-    o_prims: jax.Array        # [I] instance ids
-    # shape-level nodes (all shapes concatenated)
-    s_bmin: jax.Array
-    s_bmax: jax.Array
-    s_start: jax.Array        # child idx (local) or prim start (local)
-    s_num: jax.Array
-    s_axis: jax.Array
-    s_internal: jax.Array
-    s_prims: jax.Array        # GLOBAL element ids
-    shape_node_offset: jax.Array  # [S]
-    shape_prim_offset: jax.Array  # [S] offset into s_prims
+    nodes: jax.Array       # [N,8] f32 (outer nodes first, then all shapes)
+    leaves: jax.Array      # [L,64] f32: 4 packed primitive slots
+    inst_rows: jax.Array   # [I,16] f32: inv frame(12), root bits, kind bits
 
 
 def _make_bvh(bboxes, highquality, max_prims=HB.BVH_MAX_PRIMS):
@@ -66,81 +65,193 @@ def _make_bvh(bboxes, highquality, max_prims=HB.BVH_MAX_PRIMS):
     return HB.make_bvh(bboxes, highquality, max_prims)
 
 
+def thread_bvh(b: HB.BvhArrays):
+    """Reorder into DFS preorder with skip links.
+
+    Returns (bmin, bmax, skip, leaf_start, leaf_num); skip == -1 marks the
+    end of this tree, leaf_start == -1 marks internal nodes.
+    """
+    n = len(b.start)
+    preorder = np.empty(n, np.int32)
+    stack = [0]
+    k = 0
+    while stack:
+        node = stack.pop()
+        preorder[k] = node
+        k += 1
+        if b.internal[node]:
+            stack.append(b.start[node] + 1)
+            stack.append(b.start[node])
+    assert k == n
+    size = np.ones(n, np.int64)
+    new_of_old = np.empty(n, np.int64)
+    new_of_old[preorder] = np.arange(n)
+    for i in range(n - 1, -1, -1):
+        old = preorder[i]
+        if b.internal[old]:
+            c = b.start[old]
+            size[new_of_old[old]] = (1 + size[new_of_old[c]]
+                                     + size[new_of_old[c + 1]])
+    skip = np.arange(n, dtype=np.int64) + size
+    skip = np.where(skip >= n, -1, skip).astype(np.int32)
+    bmin = b.bbox_min[preorder]
+    bmax = b.bbox_max[preorder]
+    leaf_start = np.where(b.internal[preorder], -1,
+                          b.start[preorder]).astype(np.int32)
+    leaf_num = np.where(b.internal[preorder], 0,
+                        b.num[preorder]).astype(np.int32)
+    return bmin, bmax, skip, leaf_start, leaf_num
+
+
+def _pack_nodes(bmin, bmax, skip, meta):
+    n = len(skip)
+    out = np.zeros((n, 8), np.float32)
+    out[:, 0:3] = bmin
+    out[:, 3:6] = bmax
+    out[:, 6] = skip.astype(np.int32).view(np.float32)
+    out[:, 7] = meta.astype(np.int32).view(np.float32)
+    return out
+
+
+def _shape_kind_int(shape) -> int:
+    if len(shape.triangles):
+        return KIND_TRIANGLES
+    if len(shape.quads):
+        return KIND_QUADS
+    if len(shape.lines):
+        return KIND_LINES
+    if len(shape.points):
+        return KIND_POINTS
+    return KIND_TRIANGLES
+
+
+def _prim_row(pos, rad, v, order, elem_off):
+    rows = np.zeros((len(order), 16), np.float32)
+    rows[:, 0:3] = pos[v[:, 0]]
+    rows[:, 3:6] = pos[v[:, 1]]
+    rows[:, 6:9] = pos[v[:, 2]]
+    rows[:, 9:12] = pos[v[:, 3]]
+    rows[:, 12] = rad[v[:, 0]]
+    rows[:, 13] = rad[v[:, 1]]
+    rows[:, 14] = (order.astype(np.int32) + elem_off).view(np.float32)
+    return rows
+
+
 def build_scene_bvh(scene: SceneData, highquality: bool = False) -> FlatBvh:
-    """Host build of the two-level BVH -> flat device arrays."""
+    """Host build of the threaded two-level BVH -> packed device arrays."""
     shape_bvhs = []
     for shape in scene.shapes:
         bboxes = HB.shape_element_bounds(shape)
         shape_bvhs.append(_make_bvh(bboxes, highquality))
 
-    # instance bboxes from transformed shape roots (yocto_bvh.cpp:380-396)
-    inst_bboxes = np.zeros((len(scene.instances), 2, 3), np.float32)
+    ninst = len(scene.instances)
+    inst_bboxes = np.zeros((max(ninst, 1), 2, 3), np.float32)
     for idx, inst in enumerate(scene.instances):
         sb = shape_bvhs[inst.shape]
         lo, hi = HB.transform_bbox(np.asarray(inst.frame, np.float32),
                                    sb.bbox_min[0], sb.bbox_max[0])
         inst_bboxes[idx, 0] = lo
         inst_bboxes[idx, 1] = hi
-    obvh = _make_bvh(inst_bboxes, highquality, max_prims=1)
+    obvh = _make_bvh(inst_bboxes[:ninst] if ninst else inst_bboxes,
+                     highquality, max_prims=1)
+    o_bmin, o_bmax, o_skip, o_leaf_start, _ = thread_bvh(obvh)
+    o_inst = np.where(o_leaf_start >= 0,
+                      obvh.primitives[np.maximum(o_leaf_start, 0)],
+                      -1).astype(np.int32)
+    n_outer = len(o_skip)
+    outer_nodes = _pack_nodes(o_bmin, o_bmax, o_skip, o_inst)
 
-    # concatenate shape node pools; element prim ids become global
-    node_off, prim_off = [], []
-    noff = poff = 0
+    # shape node pools: thread each, concatenate after the outer nodes;
+    # leaves become rows of a [L, 64] block table
+    node_blocks = [outer_nodes]
+    leaf_blocks = []
+    roots = np.zeros(max(len(scene.shapes), 1), np.int32)
+    noff = n_outer
+    leaf_off = 0
     elem_off = 0
-    s_bmin, s_bmax, s_start, s_num, s_axis, s_int, s_prims = \
-        [], [], [], [], [], [], []
-    for shape, sb in zip(scene.shapes, shape_bvhs):
-        node_off.append(noff)
-        prim_off.append(poff)
-        s_bmin.append(sb.bbox_min)
-        s_bmax.append(sb.bbox_max)
-        # keep starts local; traversal adds the per-shape offsets
-        s_start.append(sb.start)
-        s_num.append(sb.num)
-        s_axis.append(sb.axis)
-        s_int.append(sb.internal)
-        s_prims.append(sb.primitives + elem_off)
-        noff += len(sb.start)
-        poff += len(sb.primitives)
+    for sidx, (shape, sb) in enumerate(zip(scene.shapes, shape_bvhs)):
+        bmin, bmax, skip, leaf_start, leaf_num = thread_bvh(sb)
+        roots[sidx] = noff
+        gskip = np.where(skip >= 0, skip + noff, -1).astype(np.int32)
+
         nelems = max(len(shape.points), len(shape.lines),
                      len(shape.triangles), len(shape.quads))
+        if nelems:
+            pos = np.asarray(shape.positions, np.float32)
+            rad = (np.asarray(shape.radius, np.float32)
+                   if len(shape.radius) == len(pos)
+                   else np.zeros(len(pos), np.float32))
+            if len(shape.triangles):
+                tris = np.asarray(shape.triangles, np.int64)
+                verts = np.concatenate([tris, tris[:, 2:3]], 1)
+            elif len(shape.quads):
+                verts = np.asarray(shape.quads, np.int64)
+            elif len(shape.lines):
+                lines = np.asarray(shape.lines, np.int64)
+                verts = np.concatenate(
+                    [lines, lines[:, 1:2], lines[:, 1:2]], 1)
+            else:
+                pts = np.asarray(shape.points, np.int64).reshape(-1, 1)
+                verts = np.repeat(pts, 4, 1)
+            prim_rows = _prim_row(pos, rad, verts[sb.primitives],
+                                  sb.primitives, elem_off)
+        else:
+            prim_rows = np.zeros((0, 16), np.float32)
+
+        # leaves: each inner leaf gets one 64-float block of its <=4 prims
+        leaf_sel = np.where(leaf_start >= 0)[0]
+        nleaves = len(leaf_sel)
+        blocks = np.zeros((nleaves, 4, 16), np.float32)
+        # degenerate fill: unused slots keep zeros (intersectors miss them
+        # because p0=p1=p2=p3=0 makes a zero-det triangle and r=0 points)
+        for bi, nidx in enumerate(leaf_sel):
+            s = leaf_start[nidx]
+            c = leaf_num[nidx]
+            blocks[bi, :c] = prim_rows[s:s + c]
+        meta = np.full(len(skip), -1, np.int32)
+        meta[leaf_sel] = ((np.arange(nleaves, dtype=np.int32) + leaf_off) * 8
+                          + leaf_num[leaf_sel])
+        node_blocks.append(_pack_nodes(bmin, bmax, gskip, meta))
+        leaf_blocks.append(blocks.reshape(nleaves, 64))
+        noff += len(skip)
+        leaf_off += nleaves
         elem_off += nelems
 
+    # packed per-instance rows: inverse frame + shape root + kind
+    inst_rows = np.zeros((max(ninst, 1), 16), np.float32)
+    for idx, inst in enumerate(scene.instances):
+        frame = np.asarray(inst.frame, np.float32)
+        inv_rot = np.linalg.inv(frame[:3].astype(np.float64)).astype(
+            np.float32)
+        inv_o = -(frame[3] @ inv_rot)
+        inst_rows[idx, 0:9] = inv_rot.reshape(-1)
+        inst_rows[idx, 9:12] = inv_o
+        inst_rows[idx, 12] = np.int32(roots[inst.shape]).view(np.float32)
+        inst_rows[idx, 13] = np.int32(
+            _shape_kind_int(scene.shapes[inst.shape])).view(np.float32)
+
     j = jnp.asarray
-    cat = lambda xs, dt: j(np.concatenate(xs).astype(dt)) if xs else \
-        j(np.zeros(0, dt))
     return FlatBvh(
-        o_bmin=j(obvh.bbox_min), o_bmax=j(obvh.bbox_max),
-        o_start=j(obvh.start), o_num=j(obvh.num), o_axis=j(obvh.axis),
-        o_internal=j(obvh.internal),
-        o_prims=j(obvh.primitives if len(obvh.primitives)
-                  else np.zeros(1, np.int32)),
-        s_bmin=cat(s_bmin, np.float32).reshape(-1, 3),
-        s_bmax=cat(s_bmax, np.float32).reshape(-1, 3),
-        s_start=cat(s_start, np.int32), s_num=cat(s_num, np.int32),
-        s_axis=cat(s_axis, np.int32), s_internal=cat(s_int, bool),
-        s_prims=cat(s_prims, np.int32) if s_prims else j(
-            np.zeros(1, np.int32)),
-        shape_node_offset=j(np.asarray(node_off, np.int32)
-                            if node_off else np.zeros(1, np.int32)),
-        shape_prim_offset=j(np.asarray(prim_off, np.int32)
-                            if prim_off else np.zeros(1, np.int32)),
+        nodes=j(np.concatenate(node_blocks)),
+        leaves=j(np.concatenate(leaf_blocks) if leaf_blocks
+                 else np.zeros((1, 64), np.float32)),
+        inst_rows=j(inst_rows),
     )
 
 
 class _TravState(NamedTuple):
-    stack: jax.Array      # [R,S] i32
-    sp: jax.Array         # [R] i32
-    cur_inst: jax.Array   # [R] i32 (-1 = world space)
-    lo: jax.Array         # [R,3] local ray origin
-    ld: jax.Array         # [R,3] local ray dir
-    ldinv: jax.Array      # [R,3]
-    tmax: jax.Array       # [R]
+    cur: jax.Array        # [R] i32 current node (combined table); -1 = done
+    o_resume: jax.Array   # [R] i32 outer node to resume after the instance
+    cur_inst: jax.Array   # [R] i32; -1 = world space
+    kind: jax.Array       # [R] i32 current shape kind
+    lo: jax.Array         # [R,3] active-space ray origin
+    ld: jax.Array
+    ldinv: jax.Array
+    tmax: jax.Array
     hit: jax.Array
     inst: jax.Array
     elem: jax.Array       # global element id
     uv: jax.Array
-    done: jax.Array
     it: jax.Array
 
 
@@ -148,183 +259,160 @@ def _safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-38, d)
 
 
-def _bbox_test(o, dinv, tmin, tmax, bmin, bmax):
-    it_min = (bmin - o) * dinv
-    it_max = (bmax - o) * dinv
-    lo = jnp.minimum(it_min, it_max)
-    hi = jnp.maximum(it_min, it_max)
-    t0 = jnp.maximum(jnp.max(lo, axis=-1), tmin)
-    t1 = jnp.minimum(jnp.min(hi, axis=-1), tmax)
-    return t0 <= t1 * 1.00000024
+def _i32(f):
+    return jax.lax.bitcast_convert_type(f, jnp.int32)
+
+
+def _prim_hit(lo, ld, tmin, tmax, row, kind):
+    """Intersect one packed primitive slot per lane (row: [..., 16])."""
+    p0 = row[..., 0:3]
+    p1 = row[..., 3:6]
+    p2 = row[..., 6:9]
+    p3 = row[..., 9:12]
+    r0 = row[..., 12]
+    r1 = row[..., 13]
+    isec_quad = G.intersect_quad(lo, ld, tmin, tmax, p0, p1, p2, p3)
+    isec_line = G.intersect_line(lo, ld, tmin, tmax, p0, p1, r0, r1)
+    isec_pt = G.intersect_point(lo, ld, tmin, tmax, p0, r0)
+    is_line = kind == KIND_LINES
+    is_pt = kind == KIND_POINTS
+    hit = jnp.where(is_line, isec_line.hit,
+                    jnp.where(is_pt, isec_pt.hit, isec_quad.hit))
+    uv = jnp.where(is_line[..., None], isec_line.uv,
+                   jnp.where(is_pt[..., None], isec_pt.uv, isec_quad.uv))
+    dist = jnp.where(is_line, isec_line.dist,
+                     jnp.where(is_pt, isec_pt.dist, isec_quad.dist))
+    return hit, uv, dist
 
 
 def make_bvh_intersector(bvh: FlatBvh, find_any: bool = False,
-                         stack_size: int = STACK_SIZE):
-    """Returns intersect(scene, ro, rd, tmin, tmax) -> SceneIntersection."""
+                         debug_iters: bool = False, unroll: int = 4):
+    """Returns intersect(scene, ro, rd, tmin, tmax) -> SceneIntersection.
+
+    `unroll` node-steps run per while iteration: the while carry costs a
+    buffer copy per carried array per iteration on TPU, so stepping several
+    nodes between carries amortizes that fixed cost."""
 
     def intersect(scene: FlatScene, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
         R = ro.shape[0]
         tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (R,))
         wdinv = _safe_inv(rd)
 
-        stack = jnp.zeros((R, stack_size), jnp.int32)
-        # push instance-bvh root (node 0, world space)
-        stack = stack.at[:, 0].set(0)
         st = _TravState(
-            stack=stack, sp=jnp.ones(R, jnp.int32),
+            cur=jnp.zeros(R, jnp.int32),
+            o_resume=jnp.full(R, -1, jnp.int32),
             cur_inst=jnp.full(R, -1, jnp.int32),
+            kind=jnp.zeros(R, jnp.int32),
             lo=ro, ld=rd, ldinv=wdinv,
             tmax=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (R,)),
             hit=jnp.zeros(R, bool),
             inst=jnp.full(R, -1, jnp.int32),
             elem=jnp.full(R, -1, jnp.int32),
             uv=jnp.zeros((R, 2), jnp.float32),
-            done=jnp.zeros(R, bool),
             it=jnp.zeros((), jnp.int32))
 
-        lanes = jnp.arange(R)
+        def step(st: _TravState) -> _TravState:
+            inner = st.cur_inst >= 0
+            live = st.cur >= 0
 
-        def body(st: _TravState) -> _TravState:
-            # pop one entry per active lane
-            empty = st.sp == 0
-            done = st.done | empty
-            sp = jnp.where(done, st.sp, st.sp - 1)
-            entry = st.stack[lanes, jnp.maximum(sp, 0)]
-            act = ~done
+            # ---- gather 1: current node (either level)
+            row = bvh.nodes[jnp.maximum(st.cur, 0)]
+            skip = _i32(row[..., 6])
+            meta = _i32(row[..., 7])
+            it_min = (row[..., 0:3] - st.lo) * st.ldinv
+            it_max = (row[..., 3:6] - st.lo) * st.ldinv
+            lo3 = jnp.minimum(it_min, it_max)
+            hi3 = jnp.maximum(it_min, it_max)
+            t0 = jnp.maximum(jnp.maximum(
+                jnp.maximum(lo3[..., 0], lo3[..., 1]), lo3[..., 2]), tmin_b)
+            t1 = jnp.minimum(jnp.minimum(
+                jnp.minimum(hi3[..., 0], hi3[..., 1]), hi3[..., 2]),
+                st.tmax)
+            bhit = live & (t0 <= t1 * 1.00000024)
+            is_leaf = meta >= 0
 
-            is_sent = act & (entry == SENTINEL)
-            is_shape = act & ~is_sent & ((entry & SHAPE_BIT) != 0)
-            is_world = act & ~is_sent & ~is_shape
-
-            # --- sentinel: back to world space
-            cur_inst = jnp.where(is_sent, -1, st.cur_inst)
-
-            # === world-space (instance bvh) node ===
-            onode = jnp.clip(entry, 0, bvh.o_start.shape[0] - 1)
-            o_hit = is_world & _bbox_test(
-                st.lo, st.ldinv, tmin_b, st.tmax,
-                bvh.o_bmin[onode], bvh.o_bmax[onode])
-            o_internal = bvh.o_internal[onode]
-            o_start = bvh.o_start[onode]
-            o_axis = bvh.o_axis[onode]
-
-            # === shape-space node ===
-            snode = jnp.clip(entry & ~SHAPE_BIT, 0,
-                             bvh.s_start.shape[0] - 1)
-            s_hit = is_shape & _bbox_test(
-                st.lo, st.ldinv, tmin_b, st.tmax,
-                bvh.s_bmin[snode], bvh.s_bmax[snode])
-            s_internal = bvh.s_internal[snode]
-            inst_c = jnp.maximum(cur_inst, 0)
-            cshape = scene.inst_shape[inst_c]
-            cnode_off = bvh.shape_node_offset[cshape]
-            cprim_off = bvh.shape_prim_offset[cshape]
-            s_start = bvh.s_start[snode]
-            s_num = bvh.s_num[snode]
-            s_axis = bvh.s_axis[snode]
-
-            stack_ = st.stack
-            sp_ = sp
-
-            # --- push children for internal nodes (ordered by ray sign)
-            push_int = (o_hit & o_internal) | (s_hit & s_internal)
-            axis = jnp.where(is_world, o_axis, s_axis)
-            sign = jnp.take_along_axis(
-                st.ldinv, axis[:, None], axis=1)[:, 0] < 0.0
-            childA = jnp.where(
-                is_world, o_start,
-                (cnode_off + s_start) | SHAPE_BIT)
-            childB = jnp.where(
-                is_world, o_start + 1,
-                (cnode_off + s_start + 1) | SHAPE_BIT)
-            first = jnp.where(sign, childA, childB)   # popped later
-            second = jnp.where(sign, childB, childA)  # popped first
-            stack_ = stack_.at[lanes, jnp.minimum(sp_, stack_size - 1)].set(
-                jnp.where(push_int, first, stack_[
-                    lanes, jnp.minimum(sp_, stack_size - 1)]))
-            sp1 = jnp.where(push_int, sp_ + 1, sp_)
-            stack_ = stack_.at[lanes, jnp.minimum(sp1, stack_size - 1)].set(
-                jnp.where(push_int, second, stack_[
-                    lanes, jnp.minimum(sp1, stack_size - 1)]))
-            sp_ = jnp.where(push_int, sp1 + 1, sp1)
-
-            # --- world leaf: switch into the instance (1 prim per leaf)
-            o_leaf = o_hit & ~o_internal
-            new_inst = bvh.o_prims[jnp.clip(o_start, 0,
-                                            bvh.o_prims.shape[0] - 1)]
-            cur_inst = jnp.where(o_leaf, new_inst, cur_inst)
-            ninst_c = jnp.maximum(cur_inst, 0)
-            inv = scene.inst_inv_frame[ninst_c]
-            nlo = (jnp.einsum("...i,...ij->...j", st.lo, inv[..., :3, :])
-                   + inv[..., 3, :])
-            nld = jnp.einsum("...i,...ij->...j", st.ld, inv[..., :3, :])
-            # world ray registers hold the ORIGINAL ray for world nodes;
-            # switching to a shape swaps in the local ray, and the sentinel
-            # swaps the world ray back
-            lo = jnp.where(o_leaf[:, None], nlo, st.lo)
-            ld = jnp.where(o_leaf[:, None], nld, st.ld)
-            ldinv = jnp.where(o_leaf[:, None], _safe_inv(nld), st.ldinv)
-            # restore world ray on sentinel
-            lo = jnp.where(is_sent[:, None], ro, lo)
-            ld = jnp.where(is_sent[:, None], rd, ld)
-            ldinv = jnp.where(is_sent[:, None], wdinv, ldinv)
-            # push sentinel + shape root
-            root = (bvh.shape_node_offset[scene.inst_shape[ninst_c]]
-                    ) | SHAPE_BIT
-            stack_ = stack_.at[lanes, jnp.minimum(sp_, stack_size - 1)].set(
-                jnp.where(o_leaf, SENTINEL, stack_[
-                    lanes, jnp.minimum(sp_, stack_size - 1)]))
-            spA = jnp.where(o_leaf, sp_ + 1, sp_)
-            stack_ = stack_.at[lanes, jnp.minimum(spA, stack_size - 1)].set(
-                jnp.where(o_leaf, root, stack_[
-                    lanes, jnp.minimum(spA, stack_size - 1)]))
-            sp_ = jnp.where(o_leaf, spA + 1, spA)
-
-            # --- shape leaf: intersect up to 4 elements
-            s_leaf = s_hit & ~s_internal
-            hit, inst_b, elem_b, uv_b, tmax = (
+            # ---- gather 2: leaf primitive block (inner leaves only)
+            s_at_leaf = bhit & is_leaf & inner
+            leaf_id = meta >> 3
+            leaf_num = meta & 7
+            block = bvh.leaves[jnp.clip(leaf_id, 0,
+                                        bvh.leaves.shape[0] - 1)]
+            hit, inst_b, elem_b, uv_b, tmax_r = (
                 st.hit, st.inst, st.elem, st.uv, st.tmax)
-            kind = scene.shape_kind[cshape]
             for k in range(HB.BVH_MAX_PRIMS):
-                in_leaf = s_leaf & (k < s_num)
-                pidx = jnp.clip(cprim_off + s_start + k, 0,
-                                bvh.s_prims.shape[0] - 1)
-                gelem = bvh.s_prims[pidx]
-                verts = scene.elements[jnp.clip(
-                    gelem, 0, scene.elements.shape[0] - 1)]
-                p = scene.positions[verts]
-                rads = scene.radius[verts]
-                ehit, euv, edist = _intersect_element(
-                    st.lo, st.ld, tmin_b, tmax, p, rads, kind)
+                prow = block[..., 16 * k:16 * (k + 1)]
+                in_leaf = s_at_leaf & (k < leaf_num)
+                ehit, euv, edist = _prim_hit(st.lo, st.ld, tmin_b, tmax_r,
+                                             prow, st.kind)
                 take = in_leaf & ehit
                 hit = hit | take
-                inst_b = jnp.where(take, cur_inst, inst_b)
-                elem_b = jnp.where(take, gelem, elem_b)
+                inst_b = jnp.where(take, st.cur_inst, inst_b)
+                elem_b = jnp.where(take, _i32(prow[..., 14]), elem_b)
                 uv_b = jnp.where(take[:, None], euv, uv_b)
-                tmax = jnp.where(take, edist, tmax)
+                tmax_r = jnp.where(take, edist, tmax_r)
+
+            # ---- gather 3: instance row (outer leaves only)
+            enter = bhit & is_leaf & ~inner
+            new_inst = jnp.where(enter, meta, st.cur_inst)
+            irow = bvh.inst_rows[jnp.clip(
+                jnp.where(enter, meta, 0), 0,
+                bvh.inst_rows.shape[0] - 1)]
+            nlo = (ro[..., 0:1] * irow[..., 0:3]
+                   + ro[..., 1:2] * irow[..., 3:6]
+                   + ro[..., 2:3] * irow[..., 6:9] + irow[..., 9:12])
+            nld = (rd[..., 0:1] * irow[..., 0:3]
+                   + rd[..., 1:2] * irow[..., 3:6]
+                   + rd[..., 2:3] * irow[..., 6:9])
+            lo = jnp.where(enter[:, None], nlo, st.lo)
+            ld = jnp.where(enter[:, None], nld, st.ld)
+            ldinv = jnp.where(enter[:, None], _safe_inv(nld), st.ldinv)
+            kind = jnp.where(enter, _i32(irow[..., 13]), st.kind)
+            root = _i32(irow[..., 12])
+
+            # ---- cursor update
+            descend = bhit & ~is_leaf
+            nxt = jnp.where(descend, jnp.maximum(st.cur, 0) + 1, skip)
+            nxt = jnp.where(enter, root, nxt)
+            nxt = jnp.where(s_at_leaf, skip, nxt)
+            # inner subtree exhausted -> resume outer walk
+            inner_exit = inner & (nxt < 0)
+            nxt = jnp.where(inner_exit, st.o_resume, nxt)
+            cur_inst = jnp.where(inner_exit, -1, new_inst)
+            # restore world ray on exit
+            lo = jnp.where(inner_exit[:, None], ro, lo)
+            ld = jnp.where(inner_exit[:, None], rd, ld)
+            ldinv = jnp.where(inner_exit[:, None], wdinv, ldinv)
+            o_resume = jnp.where(enter, skip, st.o_resume)
+            nxt = jnp.where(live, nxt, st.cur)
 
             return _TravState(
-                stack=stack_, sp=sp_, cur_inst=cur_inst,
-                lo=lo, ld=ld, ldinv=ldinv, tmax=tmax,
-                hit=hit, inst=inst_b, elem=elem_b, uv=uv_b,
-                done=done, it=st.it + 1)
+                cur=nxt, o_resume=o_resume, cur_inst=cur_inst, kind=kind,
+                lo=lo, ld=ld, ldinv=ldinv, tmax=tmax_r, hit=hit,
+                inst=inst_b, elem=elem_b, uv=uv_b, it=st.it + 1)
+
+        def body(st: _TravState) -> _TravState:
+            for _ in range(unroll):
+                st = step(st)
+            return st
 
         def cond(st: _TravState):
-            keep = jnp.any(~st.done)
+            live = st.cur >= 0
             if find_any:
-                keep = keep & ~jnp.all(st.hit | st.done)
-            return keep
+                live = live & ~st.hit
+            return jnp.any(live)
 
         st = jax.lax.while_loop(cond, body, st)
 
-        # convert global element id to shape-local (reference convention)
         shape = scene.inst_shape[jnp.maximum(st.inst, 0)]
         elem_local = st.elem - scene.shape_elem_start[shape]
-        return SceneIntersection(
+        result = SceneIntersection(
             hit=st.hit,
             instance=jnp.where(st.hit, st.inst, -1),
             element=jnp.where(st.hit, elem_local, -1),
             uv=jnp.where(st.hit[:, None], st.uv, 0.0),
             distance=jnp.where(st.hit, st.tmax, M.flt_max))
+        if debug_iters:
+            return result, st.it
+        return result
 
     return intersect

@@ -69,9 +69,13 @@ def intersect_scene_bruteforce(scene: FlatScene, ro, rd,
     shape = scene.inst_shape[scene.cand_inst]
     kind = scene.shape_kind[shape]                  # [C]
 
-    local_o = jnp.einsum("ri,cij->rcj", ro, inv[:, :3, :]) \
-        + inv[None, :, 3, :]                                    # [R,C,3]
-    local_d = jnp.einsum("ri,cij->rcj", rd, inv[:, :3, :])
+    local_o = (ro[:, None, 0:1] * inv[None, :, 0, :]
+               + ro[:, None, 1:2] * inv[None, :, 1, :]
+               + ro[:, None, 2:3] * inv[None, :, 2, :]
+               + inv[None, :, 3, :])                            # [R,C,3]
+    local_d = (rd[:, None, 0:1] * inv[None, :, 0, :]
+               + rd[:, None, 1:2] * inv[None, :, 1, :]
+               + rd[:, None, 2:3] * inv[None, :, 2, :])
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
                               local_o.shape[:-1])
     tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
@@ -111,9 +115,12 @@ def intersect_instance_elements(scene: FlatScene, instance, ro, rd,
     count = scene.shape_elem_count[shape]           # [R]
     kind = scene.shape_kind[shape]                  # [R]
     inv = scene.inst_inv_frame[instance]            # [R,4,3]
-    local_o = jnp.einsum("...i,...ij->...j", ro, inv[..., :3, :]) \
-        + inv[..., 3, :]
-    local_d = jnp.einsum("...i,...ij->...j", rd, inv[..., :3, :])
+    local_o = (ro[..., 0:1] * inv[..., 0, :]
+               + ro[..., 1:2] * inv[..., 1, :]
+               + ro[..., 2:3] * inv[..., 2, :] + inv[..., 3, :])
+    local_d = (rd[..., 0:1] * inv[..., 0, :]
+               + rd[..., 1:2] * inv[..., 1, :]
+               + rd[..., 2:3] * inv[..., 2, :])
 
     ks = jnp.arange(max_elems, dtype=jnp.int32)     # [K]
     gelem = start[:, None] + jnp.minimum(ks[None, :], count[:, None] - 1)

@@ -74,3 +74,5 @@ class TraceParams:
     # TPU-specific extensions (not in the reference)
     bruteforce: bool = False      # skip the BVH, intersect all elements
     exact_rng: bool = True        # bit-exact PCG32 streams per pixel
+    spp_batch: int = 1            # samples per device step (>1 implies
+    #                               decorrelated per-sample streams)

@@ -220,7 +220,7 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
             incoming_nd = _where3(use_bsdf, inc_bsdf, inc_light)
         else:
             incoming_nd = inc_bsdf
-        nd_zero = nd & jnp.all(incoming_nd == 0.0, axis=-1)
+        nd_zero = nd & M.is_zero3(incoming_nd)
         nd_ok = nd & ~nd_zero
         f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd)
         pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd)
@@ -237,7 +237,7 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
         dl = shade & delta
         r_delta, rng = R.rand1f_if(rng, dl)
         inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
-        dl_zero = dl & jnp.all(inc_delta == 0.0, axis=-1)
+        dl_zero = dl & M.is_zero3(inc_delta)
         dl_ok = dl & ~dl_zero
         f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
         pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
@@ -285,7 +285,7 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
             incoming_v = _where3(use_scat, inc_scat, inc_light_v)
         else:
             incoming_v = inc_scat
-        v_zero = vol & jnp.all(incoming_v == 0.0, axis=-1)
+        v_zero = vol & M.is_zero3(incoming_v)
         v_ok = vol & ~v_zero
         f_v = B.eval_scattering(top_density, top_scat, top_aniso,
                                 outgoing_v, incoming_v)
@@ -308,8 +308,8 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
         # Weight check + Russian roulette (applies to shaded/volume lanes)
         # ====================================================================
         processed = (shade | vol) & st.alive
-        wzero = jnp.all(st.weight == 0.0, axis=-1)
-        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        wzero = M.is_zero3(st.weight)
+        wbad = ~M.isfinite3(st.weight)
         alive = st.alive & ~(processed & (wzero | wbad))
         st = st._replace(alive=alive)
 
@@ -397,7 +397,7 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
         rn2, rng = R.rand2f_if(st.rng, rough)
         rnl, rng = R.rand1f_if(rng, rough)
         inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
-        r_zero = rough & jnp.all(inc_r == 0.0, axis=-1)
+        r_zero = rough & M.is_zero3(inc_r)
         f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r)
         pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r)
         safe_r = jnp.where(pdf_r == 0.0, 1.0, pdf_r)[..., None]
@@ -407,7 +407,7 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
         dl = shade & (material.roughness == 0.0)
         r_d, rng = R.rand1f_if(rng, dl)
         inc_d = B.sample_delta(material, normal, outgoing, r_d)
-        d_zero = dl & jnp.all(inc_d == 0.0, axis=-1)
+        d_zero = dl & M.is_zero3(inc_d)
         f_d = B.eval_delta(material, normal, outgoing, inc_d)
         pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
         safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
@@ -418,8 +418,8 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
         st = st._replace(weight=weight, alive=alive, rng=rng)
 
         processed = shade & st.alive
-        wzero = jnp.all(st.weight == 0.0, axis=-1)
-        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        wzero = M.is_zero3(st.weight)
+        wbad = ~M.isfinite3(st.weight)
         st = st._replace(alive=st.alive & ~(processed & (wzero | wbad)))
 
         rr = processed & st.alive & (st.bounce > 3)
@@ -509,14 +509,14 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
         cont = shade & delta
         r_d, rng = R.rand1f_if(st.rng, cont)
         inc_d = B.sample_delta(material, normal, outgoing, r_d)
-        d_zero = cont & jnp.all(inc_d == 0.0, axis=-1)
+        d_zero = cont & M.is_zero3(inc_d)
         f_d = B.eval_delta(material, normal, outgoing, inc_d)
         pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
         safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
         weight = _where3(cont & ~d_zero, st.weight * f_d / safe_d,
                          st.weight)
-        wzero = jnp.all(weight == 0.0, axis=-1)
-        wbad = ~jnp.all(jnp.isfinite(weight), axis=-1)
+        wzero = M.is_zero3(weight)
+        wbad = ~M.isfinite3(weight)
         alive = st.alive & cont & ~d_zero & ~wzero & ~wbad
         alive = alive | (st.alive & op_skip)
         st = st._replace(weight=weight, rng=rng)
@@ -696,7 +696,7 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
         rn2, rng = R.rand2f_if(st.rng, rough)
         rnl, rng = R.rand1f_if(rng, rough)
         inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
-        r_zero = rough & jnp.all(inc_r == 0.0, axis=-1)
+        r_zero = rough & M.is_zero3(inc_r)
         f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r)
         pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r)
         safe_r = jnp.where(pdf_r == 0.0, 1.0, pdf_r)[..., None]
@@ -706,7 +706,7 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
         dl = shade & (material.roughness == 0.0)
         r_d, rng = R.rand1f_if(rng, dl)
         inc_d = B.sample_delta(material, normal, outgoing, r_d)
-        d_zero = dl & jnp.all(inc_d == 0.0, axis=-1)
+        d_zero = dl & M.is_zero3(inc_d)
         f_d = B.eval_delta(material, normal, outgoing, inc_d)
         pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
         safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
@@ -717,8 +717,8 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
         st = st._replace(weight=weight, alive=alive, rng=rng)
 
         processed = shade & st.alive
-        wzero = jnp.all(st.weight == 0.0, axis=-1)
-        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        wzero = M.is_zero3(st.weight)
+        wbad = ~M.isfinite3(st.weight)
         st = st._replace(alive=st.alive & ~(processed & (wzero | wbad)))
 
         rr = processed & st.alive & (st.bounce > 3)
@@ -864,7 +864,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
                                   rl_d, rel_d, ruv_d)
             pdf_d = sample_lights_pdf(scene, lights, meta, position, inc_d)
             f_d = B.eval_bsdfcos(material, normal, outgoing, inc_d)
-            ok_d = nd & jnp.any(f_d != 0.0, axis=-1) & (pdf_d > 0.0)
+            ok_d = nd & ~M.is_zero3(f_d) & (pdf_d > 0.0)
             emission_d, _ = _nee_emission(scene, intersect_fn, position,
                                           inc_d)
             safe_pd = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
@@ -889,7 +889,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             incoming_nd = _where3(use_bsdf, inc_bsdf, inc_light)
         else:
             incoming_nd = inc_bsdf
-        nd_zero = nd & jnp.all(incoming_nd == 0.0, axis=-1)
+        nd_zero = nd & M.is_zero3(incoming_nd)
         nd_ok = nd & ~nd_zero
         f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd)
         pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd)
@@ -905,7 +905,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         dl = shade & delta
         r_delta, rng = R.rand1f_if(rng, dl)
         inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
-        dl_zero = dl & jnp.all(inc_delta == 0.0, axis=-1)
+        dl_zero = dl & M.is_zero3(inc_delta)
         dl_ok = dl & ~dl_zero
         f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
         pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
@@ -948,7 +948,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             incoming_v = _where3(use_scat, inc_scat, inc_light_v)
         else:
             incoming_v = inc_scat
-        v_zero = vol & jnp.all(incoming_v == 0.0, axis=-1)
+        v_zero = vol & M.is_zero3(incoming_v)
         v_ok = vol & ~v_zero
         f_v = B.eval_scattering(top_density, top_scat, top_aniso,
                                 outgoing_v, incoming_v)
@@ -968,8 +968,8 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd, rng=rng)
 
         processed = (shade | vol) & st.alive
-        wzero = jnp.all(st.weight == 0.0, axis=-1)
-        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        wzero = M.is_zero3(st.weight)
+        wbad = ~M.isfinite3(st.weight)
         alive = st.alive & ~(processed & (wzero | wbad))
         st = st._replace(alive=alive)
 
@@ -1098,7 +1098,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
                                   rl_l, rel_l, ruv_l)
         else:
             inc_l = jnp.zeros_like(position)
-        l_zero = nd & jnp.all(inc_l == 0.0, axis=-1)
+        l_zero = nd & M.is_zero3(inc_l)
         l_live = nd & ~l_zero
         f_l = B.eval_bsdfcos(material, normal, outgoing, inc_l)
         if has_lights:
@@ -1109,7 +1109,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         safe_lpdf = jnp.where(lpdf_l == 0.0, 1.0, lpdf_l)
         misw_l = mis_heuristic(lpdf_l, bpdf_l) / safe_lpdf
         misw_l = jnp.where(lpdf_l == 0.0, 0.0, misw_l)
-        ok_l = l_live & jnp.any(f_l != 0.0, axis=-1) & (misw_l != 0.0)
+        ok_l = l_live & ~M.is_zero3(f_l) & (misw_l != 0.0)
         em_l, _ = _nee_emission(scene, intersect_fn, position, inc_l)
         st = st._replace(rng=rng, radiance=_where3(
             ok_l, st.radiance + st.weight * f_l * em_l * misw_l[..., None],
@@ -1121,7 +1121,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         rnl_b, rng = R.rand1f_if(rng, l_live)
         inc_b = B.sample_bsdfcos(material, normal, outgoing, rnl_b, rn2_b)
         inc_b = _where3(l_live, inc_b, jnp.zeros_like(inc_b))
-        b_zero = l_live & jnp.all(inc_b == 0.0, axis=-1)
+        b_zero = l_live & M.is_zero3(inc_b)
         b_live = l_live & ~b_zero
         f_b = B.eval_bsdfcos(material, normal, outgoing, inc_b)
         if has_lights:
@@ -1132,7 +1132,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         safe_bpdf = jnp.where(bpdf_b == 0.0, 1.0, bpdf_b)
         misw_b = mis_heuristic(bpdf_b, lpdf_b) / safe_bpdf
         misw_b = jnp.where(bpdf_b == 0.0, 0.0, misw_b)
-        ok_b = b_live & jnp.any(f_b != 0.0, axis=-1) & (misw_b != 0.0)
+        ok_b = b_live & ~M.is_zero3(f_b) & (misw_b != 0.0)
         em_b, _ = _nee_emission(scene, intersect_fn, position, inc_b)
         st = st._replace(rng=rng, radiance=_where3(
             ok_b, st.radiance + st.weight * f_b * em_b * misw_b[..., None],
@@ -1218,8 +1218,8 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
                          next_emission=next_emission)
 
         processed = (shade | vol) & st.alive
-        wzero = jnp.all(st.weight == 0.0, axis=-1)
-        wbad = ~jnp.all(jnp.isfinite(st.weight), axis=-1)
+        wzero = M.is_zero3(st.weight)
+        wbad = ~M.isfinite3(st.weight)
         alive = st.alive & ~(processed & (wzero | wbad))
         st = st._replace(alive=alive)
 

@@ -130,7 +130,7 @@ def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
     radiance, hit, albedo, normal, rngs = sampler(ro, rd, rngs)
 
     # clamp + nan scrub (yocto_trace.cpp:1471-1475)
-    finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
+    finite = M.isfinite3(radiance)[..., None]
     radiance = jnp.where(finite, radiance, 0.0)
     mx = M.maxc(radiance)
     scale = jnp.where(mx > params.clamp, params.clamp / jnp.maximum(mx, 1e-20),
@@ -170,6 +170,81 @@ def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                       hits=hits, rng=rngs, samples=state.samples + 1)
 
 
+def _multi_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
+                  meta: LightsMeta, params: TraceParams, width: int,
+                  height: int, spp: int, seq_hi, seq_lo, bvh=None,
+                  row_offset=0, full_height: int = None):
+    """`spp` samples for every pixel in ONE device step (fast mode).
+
+    Lanes are (sample, pixel) pairs with per-lane PCG32 streams seeded from
+    (seed + golden * global_sample_index, pixel_seq) — statistically
+    independent of each other and of the exact mode's sequential streams,
+    converging to the same expectation. Accumulation applies the
+    reference's per-sample clamp before averaging."""
+    if bvh is None:
+        intersect_fn = intersect_scene_bruteforce
+    else:
+        from .bvh import make_bvh_intersector
+        intersect_fn = make_bvh_intersector(bvh)
+    builder = get_sampler_builder(params.sampler)
+    sampler = builder(scene, lights, meta, params, intersect_fn)
+
+    n = width * height
+    k_lane = (state.samples
+              + jnp.repeat(jnp.arange(spp, dtype=jnp.int32), n))
+    rngs = R.make_rng_offset(params.seed, k_lane,
+                             jnp.tile(seq_hi, spp), jnp.tile(seq_lo, spp))
+    jj, ii = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32),
+                          indexing="ij")
+    i = jnp.tile(ii.reshape(-1), spp)
+    j = jnp.tile(jj.reshape(-1) + row_offset, spp)
+    fh = full_height if full_height is not None else height
+    luv, rngs = R.rand2f(rngs)
+    puv, rngs = R.rand2f(rngs)
+    uv = jnp.stack([(i + puv[..., 0]) / width,
+                    (j + puv[..., 1]) / fh], axis=-1)
+    from .sceneval import eval_camera
+    ro, rd = eval_camera(scene, params.camera, uv, SMP.sample_disk(luv))
+
+    radiance, hit, albedo, normal, _ = sampler(ro, rd, rngs)
+
+    finite = M.isfinite3(radiance)[..., None]
+    radiance = jnp.where(finite, radiance, 0.0)
+    mx = M.maxc(radiance)
+    scale = jnp.where(mx > params.clamp,
+                      params.clamp / jnp.maximum(mx, 1e-20), 1.0)
+    radiance = radiance * scale[..., None]
+
+    has_env = scene.env_frame.shape[0] > 0
+    img_new = jnp.concatenate(
+        [radiance, jnp.ones_like(radiance[..., :1])], axis=-1)
+    if has_env and not params.envhidden:
+        use_img = jnp.ones_like(hit)
+        albedo_new = jnp.where(hit[..., None], albedo, 1.0)
+        normal_new = jnp.where(hit[..., None], normal, -rd)
+        hits_inc = jnp.ones_like(hit, jnp.int32)
+    else:
+        use_img = hit
+        albedo_new = jnp.where(hit[..., None], albedo, 0.0)
+        normal_new = jnp.where(hit[..., None], normal, -rd)
+        hits_inc = hit.astype(jnp.int32)
+    img_new = jnp.where(use_img[..., None], img_new, 0.0)
+
+    shape2 = (height, width)
+    img_avg = img_new.reshape((spp,) + shape2 + (4,)).mean(0)
+    alb_avg = albedo_new.reshape((spp,) + shape2 + (3,)).mean(0)
+    nrm_avg = normal_new.reshape((spp,) + shape2 + (3,)).mean(0)
+    hits_sum = hits_inc.reshape((spp,) + shape2).sum(0)
+    w = spp / (state.samples.astype(jnp.float32) + spp)
+    return TraceState(
+        image=state.image + (img_avg - state.image) * w,
+        albedo=state.albedo + (alb_avg - state.albedo) * w,
+        normal=state.normal + (nrm_avg - state.normal) * w,
+        hits=state.hits + hits_sum,
+        rng=state.rng, samples=state.samples + spp)
+
+
 class Renderer:
     """Holds compiled scene + lights and a cached jitted sample step."""
 
@@ -179,20 +254,37 @@ class Renderer:
         self.flat = compile_scene(scene)
         self.lights, self.lights_meta = make_trace_lights(scene)
         self.width, self.height = render_size(scene, params)
-        if params.bruteforce:
+        n_candidates = sum(
+            max(len(scene.shapes[i.shape].points),
+                len(scene.shapes[i.shape].lines),
+                len(scene.shapes[i.shape].triangles),
+                len(scene.shapes[i.shape].quads))
+            for i in scene.instances)
+        # tiny scenes: the dense sweep beats per-ray traversal on TPU
+        if params.bruteforce or n_candidates <= 256:
             self.bvh = None
         else:
             from .bvh import build_scene_bvh
             self.bvh = build_scene_bvh(scene, params.highqualitybvh)
 
         meta, width, height = self.lights_meta, self.width, self.height
+        spp = max(1, params.spp_batch)
+        if spp > 1 or not params.exact_rng:
+            seq_hi, seq_lo = R.make_pixel_seqs(width * height)
 
-        @jax.jit
-        def step(flat, lights, bvh, state):
-            return _one_sample(flat, lights, state, meta, params,
-                               width, height, bvh=bvh)
+            @jax.jit
+            def step(flat, lights, bvh, state):
+                return _multi_sample(flat, lights, state, meta, params,
+                                     width, height, spp, seq_hi, seq_lo,
+                                     bvh=bvh)
+        else:
+            @jax.jit
+            def step(flat, lights, bvh, state):
+                return _one_sample(flat, lights, state, meta, params,
+                                   width, height, bvh=bvh)
 
         self._step = step
+        self.spp_batch = spp
 
     def make_state(self) -> TraceState:
         return make_trace_state(self.scene_host, self.params)

@@ -262,8 +262,8 @@ def eval_normalmap(scene: FlatScene, inst, elem, uv):
     flip_v = M.dot(fy, tv) < 0.0
     ny = normalmap[..., 1] * jnp.where(flip_v, 1.0, -1.0)
     nm = jnp.stack([normalmap[..., 0], ny, normalmap[..., 2]], axis=-1)
-    frame = jnp.stack([fx, fy, normal], axis=-2)  # rows x,y,z
-    mapped = M.normalize(jnp.einsum("...i,...ij->...j", nm, frame))
+    mapped = M.normalize(nm[..., 0:1] * fx + nm[..., 1:2] * fy
+                         + nm[..., 2:3] * normal)
     return jnp.where(apply[..., None], mapped, normal)
 
 
