@@ -263,30 +263,48 @@ def _i32(f):
     return jax.lax.bitcast_convert_type(f, jnp.int32)
 
 
-def _prim_hit(lo, ld, tmin, tmax, row, kind):
-    """Intersect one packed primitive slot per lane (row: [..., 16])."""
+def _prim_hit(lo, ld, tmin, tmax, row, kind, kinds=None):
+    """Intersect one packed primitive slot per lane (row: [..., 16]).
+
+    `kinds` (static) drops intersectors for element types absent from the
+    scene — bit-identical specialization."""
     p0 = row[..., 0:3]
     p1 = row[..., 3:6]
     p2 = row[..., 6:9]
     p3 = row[..., 9:12]
     r0 = row[..., 12]
     r1 = row[..., 13]
-    isec_quad = G.intersect_quad(lo, ld, tmin, tmax, p0, p1, p2, p3)
-    isec_line = G.intersect_line(lo, ld, tmin, tmax, p0, p1, r0, r1)
-    isec_pt = G.intersect_point(lo, ld, tmin, tmax, p0, r0)
-    is_line = kind == KIND_LINES
-    is_pt = kind == KIND_POINTS
-    hit = jnp.where(is_line, isec_line.hit,
-                    jnp.where(is_pt, isec_pt.hit, isec_quad.hit))
-    uv = jnp.where(is_line[..., None], isec_line.uv,
-                   jnp.where(is_pt[..., None], isec_pt.uv, isec_quad.uv))
-    dist = jnp.where(is_line, isec_line.dist,
-                     jnp.where(is_pt, isec_pt.dist, isec_quad.dist))
+    if kinds is None:
+        kinds = (KIND_POINTS, KIND_LINES, KIND_TRIANGLES, KIND_QUADS)
+    has_surface = (KIND_TRIANGLES in kinds) or (KIND_QUADS in kinds)
+    hit = uv = dist = None
+    if has_surface:
+        isec = G.intersect_quad(lo, ld, tmin, tmax, p0, p1, p2, p3)
+        hit, uv, dist = isec.hit, isec.uv, isec.dist
+    if KIND_LINES in kinds:
+        isec_line = G.intersect_line(lo, ld, tmin, tmax, p0, p1, r0, r1)
+        if hit is None:
+            hit, uv, dist = isec_line.hit, isec_line.uv, isec_line.dist
+        else:
+            is_line = kind == KIND_LINES
+            hit = jnp.where(is_line, isec_line.hit, hit)
+            uv = jnp.where(is_line[..., None], isec_line.uv, uv)
+            dist = jnp.where(is_line, isec_line.dist, dist)
+    if KIND_POINTS in kinds:
+        isec_pt = G.intersect_point(lo, ld, tmin, tmax, p0, r0)
+        if hit is None:
+            hit, uv, dist = isec_pt.hit, isec_pt.uv, isec_pt.dist
+        else:
+            is_pt = kind == KIND_POINTS
+            hit = jnp.where(is_pt, isec_pt.hit, hit)
+            uv = jnp.where(is_pt[..., None], isec_pt.uv, uv)
+            dist = jnp.where(is_pt, isec_pt.dist, dist)
     return hit, uv, dist
 
 
 def make_bvh_intersector(bvh: FlatBvh, find_any: bool = False,
-                         debug_iters: bool = False, unroll: int = 4):
+                         debug_iters: bool = False, unroll: int = 4,
+                         kinds=None):
     """Returns intersect(scene, ro, rd, tmin, tmax) -> SceneIntersection.
 
     `unroll` node-steps run per while iteration: the while carry costs a
@@ -343,7 +361,7 @@ def make_bvh_intersector(bvh: FlatBvh, find_any: bool = False,
                 prow = block[..., 16 * k:16 * (k + 1)]
                 in_leaf = s_at_leaf & (k < leaf_num)
                 ehit, euv, edist = _prim_hit(st.lo, st.ld, tmin_b, tmax_r,
-                                             prow, st.kind)
+                                             prow, st.kind, kinds=kinds)
                 take = in_leaf & ehit
                 hit = hit | take
                 inst_b = jnp.where(take, st.cur_inst, inst_b)

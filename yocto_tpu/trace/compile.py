@@ -96,6 +96,109 @@ class FlatScene(NamedTuple):
     cand_elem: jax.Array    # [Cand] i32 (global element idx)
 
 
+class SceneFeatures(NamedTuple):
+    """Static scene capabilities, baked into the jitted sampler.
+
+    The reference renderer pays only for what a material actually does via
+    per-vertex branching (yocto_trace.cpp:524-582); on TPU the masked-select
+    equivalent would evaluate EVERY lobe/branch for every lane. These
+    host-side flags restore the reference's economy at compile time: code
+    for a feature no scene material can trigger is simply not traced, which
+    is bit-identical to tracing it behind an all-false mask (and keeps the
+    per-pixel RNG streams unchanged, since all draw sites are mask-guarded).
+    """
+
+    kinds: tuple          # sorted element kinds among instanced shapes
+    mat_types: tuple      # sorted MaterialType ints used by instances
+    has_volumes: bool     # any used material is volumetric (scene.cpp:268)
+    has_opacity: bool     # any lane can see opacity < 1
+    has_delta: bool       # any used material can be a delta lobe
+    has_emission_tex: bool
+    has_color_tex: bool
+    has_roughness_tex: bool
+    has_scattering_tex: bool
+    has_normal_tex: bool
+    has_shape_colors: bool  # any instanced shape carries vertex colors
+
+
+ALL_FEATURES = SceneFeatures(
+    kinds=(KIND_POINTS, KIND_LINES, KIND_TRIANGLES, KIND_QUADS),
+    mat_types=tuple(range(8)),
+    has_volumes=True, has_opacity=True, has_delta=True,
+    has_emission_tex=True, has_color_tex=True, has_roughness_tex=True,
+    has_scattering_tex=True, has_normal_tex=True, has_shape_colors=True)
+
+
+def scene_features(scene: SceneData) -> SceneFeatures:
+    """Host-side feature scan over materials/shapes reachable by instances."""
+    from ..models.scene import MaterialType as MT
+
+    used_mats = sorted({i.material for i in scene.instances
+                        if 0 <= i.material < len(scene.materials)})
+    used_shapes = sorted({i.shape for i in scene.instances
+                          if 0 <= i.shape < len(scene.shapes)})
+    mats = [scene.materials[m] for m in used_mats]
+    shapes = [scene.shapes[s] for s in used_shapes]
+
+    kinds = set()
+    has_colors = False
+    for s in shapes:
+        if len(s.triangles):
+            kinds.add(KIND_TRIANGLES)
+        elif len(s.quads):
+            kinds.add(KIND_QUADS)
+        elif len(s.lines):
+            kinds.add(KIND_LINES)
+        elif len(s.points):
+            kinds.add(KIND_POINTS)
+        if len(s.colors) == len(s.positions) and len(s.positions):
+            has_colors = True
+
+    def tex_alpha_lt1(tid):
+        if tid == INVALID or tid >= len(scene.textures):
+            return False
+        t = scene.textures[tid]
+        if t.pixelsf is not None and np.asarray(t.pixelsf).size:
+            return bool(np.asarray(t.pixelsf).reshape(-1, 4)[:, 3].min() < 1)
+        if t.pixelsb is not None and np.asarray(t.pixelsb).size:
+            return bool(np.asarray(t.pixelsb).reshape(-1, 4)[:, 3].min() < 255)
+        return False
+
+    mat_types = sorted({int(m.type) for m in mats})
+    vol_types = {int(MT.refractive), int(MT.volumetric), int(MT.subsurface)}
+    has_volumes = any(int(m.type) in vol_types for m in mats)
+    has_opacity = any(
+        m.opacity < 1.0 or tex_alpha_lt1(m.color_tex) for m in mats)
+    if has_colors:
+        has_opacity = has_opacity or any(
+            len(s.colors) == len(s.positions) and len(s.positions)
+            and np.asarray(s.colors).reshape(-1, 4)[:, 3].min() < 1
+            for s in shapes)
+    # delta-capable: zero-roughness reflective/transparent/refractive or a
+    # passthrough volumetric (roughness textures can pull roughness to 0)
+    min_r = 0.03  # sqrt(MIN_ROUGHNESS): roughness below this becomes delta
+    delta_types = {int(MT.reflective), int(MT.transparent),
+                   int(MT.refractive)}
+    has_delta = any(
+        (int(m.type) in delta_types
+         and (m.roughness < min_r or m.roughness_tex != INVALID))
+        or int(m.type) == int(MT.volumetric)
+        for m in mats)
+
+    return SceneFeatures(
+        kinds=tuple(sorted(kinds)) or (KIND_TRIANGLES,),
+        mat_types=tuple(mat_types) or (0,),
+        has_volumes=has_volumes,
+        has_opacity=has_opacity,
+        has_delta=has_delta,
+        has_emission_tex=any(m.emission_tex != INVALID for m in mats),
+        has_color_tex=any(m.color_tex != INVALID for m in mats),
+        has_roughness_tex=any(m.roughness_tex != INVALID for m in mats),
+        has_scattering_tex=any(m.scattering_tex != INVALID for m in mats),
+        has_normal_tex=any(m.normal_tex != INVALID for m in mats),
+        has_shape_colors=has_colors)
+
+
 def _pad1(a, fill=0):
     """Ensure arrays are non-empty so gathers never see zero extents."""
     if len(a) == 0:

@@ -36,31 +36,51 @@ class SceneIntersection(NamedTuple):
     distance: jax.Array  # [R] f32 (flt_max on miss)
 
 
-def _intersect_element(local_o, local_d, tmin, tmax, p, rads, kind):
+def _intersect_element(local_o, local_d, tmin, tmax, p, rads, kind,
+                       kinds=None):
     """Intersect one unified element per lane; p: [...,4,3], rads: [...,4].
 
     kind selects quad (tris stored as degenerate quads), line, or point.
+    `kinds` (static tuple of KIND_* present in the scene) drops the
+    intersectors no candidate can need — bit-identical specialization.
     """
     p0, p1, p2, p3 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
-    isec_quad = G.intersect_quad(local_o, local_d, tmin, tmax, p0, p1, p2, p3)
-    isec_line = G.intersect_line(local_o, local_d, tmin, tmax, p0, p1,
-                                 rads[..., 0], rads[..., 1])
-    isec_pt = G.intersect_point(local_o, local_d, tmin, tmax, p0,
-                                rads[..., 0])
-    is_line = kind == KIND_LINES
-    is_pt = kind == KIND_POINTS
-    hit = jnp.where(is_line, isec_line.hit,
-                    jnp.where(is_pt, isec_pt.hit, isec_quad.hit))
-    uv = jnp.where(is_line[..., None], isec_line.uv,
-                   jnp.where(is_pt[..., None], isec_pt.uv, isec_quad.uv))
-    dist = jnp.where(is_line, isec_line.dist,
-                     jnp.where(is_pt, isec_pt.dist, isec_quad.dist))
+    if kinds is None:
+        kinds = (KIND_POINTS, KIND_LINES, 2, 3)
+    has_surface = (2 in kinds) or (3 in kinds)  # triangles or quads
+    has_line = KIND_LINES in kinds
+    has_pt = KIND_POINTS in kinds
+
+    hit = uv = dist = None
+    if has_surface:
+        isec = G.intersect_quad(local_o, local_d, tmin, tmax, p0, p1, p2, p3)
+        hit, uv, dist = isec.hit, isec.uv, isec.dist
+    if has_line:
+        isec_line = G.intersect_line(local_o, local_d, tmin, tmax, p0, p1,
+                                     rads[..., 0], rads[..., 1])
+        if hit is None:
+            hit, uv, dist = isec_line.hit, isec_line.uv, isec_line.dist
+        else:
+            is_line = kind == KIND_LINES
+            hit = jnp.where(is_line, isec_line.hit, hit)
+            uv = jnp.where(is_line[..., None], isec_line.uv, uv)
+            dist = jnp.where(is_line, isec_line.dist, dist)
+    if has_pt:
+        isec_pt = G.intersect_point(local_o, local_d, tmin, tmax, p0,
+                                    rads[..., 0])
+        if hit is None:
+            hit, uv, dist = isec_pt.hit, isec_pt.uv, isec_pt.dist
+        else:
+            is_pt = kind == KIND_POINTS
+            hit = jnp.where(is_pt, isec_pt.hit, hit)
+            uv = jnp.where(is_pt[..., None], isec_pt.uv, uv)
+            dist = jnp.where(is_pt, isec_pt.dist, dist)
     return hit, uv, dist
 
 
 def intersect_scene_bruteforce(scene: FlatScene, ro, rd,
-                               tmin=RAY_EPS, tmax=M.flt_max
-                               ) -> SceneIntersection:
+                               tmin=RAY_EPS, tmax=M.flt_max,
+                               kinds=None) -> SceneIntersection:
     """Closest hit over all candidates; ro/rd: [R,3]."""
     inv = scene.inst_inv_frame[scene.cand_inst]     # [C,4,3]
     verts = scene.elements[scene.cand_elem]         # [C,4]
@@ -82,7 +102,8 @@ def intersect_scene_bruteforce(scene: FlatScene, ro, rd,
                               local_o.shape[:-1])
 
     hit, uv, dist = _intersect_element(
-        local_o, local_d, tmin_b, tmax_b, p[None], rads[None], kind[None])
+        local_o, local_d, tmin_b, tmax_b, p[None], rads[None], kind[None],
+        kinds=kinds)
 
     best = jnp.argmin(dist, axis=-1)                # [R]
     best_hit = jnp.take_along_axis(hit, best[:, None], axis=1)[:, 0]

@@ -25,8 +25,9 @@ from ..models.scene import INVALID, SceneData
 from ..ops import mathops as M
 from ..ops import sampling as SMP
 from ..models.shape import sample_quads_cdf, sample_triangles_cdf
+from ..ops import geometry as G
 from .compile import FlatScene, KIND_TRIANGLES
-from .intersect import intersect_instance_elements
+from .intersect import RAY_EPS, intersect_instance_elements
 from .sceneval import eval_element_normal, eval_position, eval_texture
 
 
@@ -46,6 +47,8 @@ class LightsMeta(NamedTuple):
     max_light_elems: int  # max element count over instance lights
     env_sizes: tuple      # (width, height) per env light, () entries for none
     kinds: tuple          # 'inst' | 'env' per light
+    light_ranges: tuple = ()  # per light: (inst_id, elem_start, elem_count)
+    #                           in FlatScene global element ids; None for env
 
 
 def make_trace_lights(scene: SceneData, flat=None):
@@ -53,6 +56,21 @@ def make_trace_lights(scene: SceneData, flat=None):
     insts, envs, cdfs = [], [], []
     env_sizes = []
     kinds = []
+    ranges = []
+    # global element offsets, same ordering/priority as compile_scene
+    shape_eoff = []
+    eoff = 0
+    for s in scene.shapes:
+        shape_eoff.append(eoff)
+        # priority chain identical to compile_scene's element selection
+        if len(s.triangles):
+            eoff += len(s.triangles)
+        elif len(s.quads):
+            eoff += len(s.quads)
+        elif len(s.lines):
+            eoff += len(s.lines)
+        else:
+            eoff += len(s.points)
     for handle, inst in enumerate(scene.instances):
         material = scene.materials[inst.material]
         if not np.any(np.asarray(material.emission) != 0):
@@ -69,12 +87,16 @@ def make_trace_lights(scene: SceneData, flat=None):
         cdfs.append(cdf.astype(np.float32))
         env_sizes.append(())
         kinds.append("inst")
+        ranges.append((handle, shape_eoff[inst.shape],
+                       len(shape.triangles) if len(shape.triangles)
+                       else len(shape.quads)))
     for handle, env in enumerate(scene.environments):
         if not np.any(np.asarray(env.emission) != 0):
             continue
         insts.append(INVALID)
         envs.append(handle)
         kinds.append("env")
+        ranges.append(None)
         if env.emission_tex != INVALID:
             tex = scene.textures[env.emission_tex]
             if tex.pixelsf is not None and tex.pixelsf.size:
@@ -128,7 +150,8 @@ def make_trace_lights(scene: SceneData, flat=None):
             else np.zeros(1, np.float32)),
     )
     meta = LightsMeta(n_lights=len(insts), max_light_elems=max_elems,
-                      env_sizes=tuple(env_sizes), kinds=tuple(kinds))
+                      env_sizes=tuple(env_sizes), kinds=tuple(kinds),
+                      light_ranges=tuple(ranges))
     return lights, meta
 
 
@@ -213,8 +236,55 @@ def sample_lights_pdf(scene: FlatScene, lights: FlatLights, meta: LightsMeta,
                 angle = (2.0 * M.pif / w) * (M.pif / h) * jnp.sin(
                     M.pif * (j.astype(jnp.float32) + 0.5) / h)
                 pdf = pdf + prob / angle
+        elif (li < len(meta.light_ranges)
+              and meta.light_ranges[li] is not None
+              and meta.light_ranges[li][2] <= 8192):
+            # instance light, all-hits sweep: the reference walks the ray
+            # through the light geometry summing d^2/(|n.d| area) per hit
+            # (yocto_trace.cpp:400-415). Light elements are planar, so a ray
+            # hits each at most once and the walk's sum over successive hits
+            # equals a single vectorized sum over ALL elements hit — one
+            # fused [R,E] pass instead of `pdf_walk` sequential rounds of
+            # closest-hit + gather-heavy eval_position/eval_element_normal.
+            handle, estart, ecount = meta.light_ranges[li]
+            area = lights.cdf_total[li]
+            inv = scene.inst_inv_frame[handle]          # [4,3]
+            frame = scene.inst_frame[handle]            # [4,3]
+            lo = (position[:, 0:1] * inv[0] + position[:, 1:2] * inv[1]
+                  + position[:, 2:3] * inv[2] + inv[3])          # [R,3]
+            ld = (direction[:, 0:1] * inv[0] + direction[:, 1:2] * inv[1]
+                  + direction[:, 2:3] * inv[2])
+            verts = scene.elements[estart:estart + ecount]       # [E,4]
+            p = scene.positions[verts]                           # [E,4,3]
+            p0, p1, p2, p3 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+            tmin_b = jnp.broadcast_to(RAY_EPS, (R, ecount))
+            tmax_b = jnp.broadcast_to(M.flt_max, (R, ecount))
+            isec = G.intersect_quad(lo[:, None], ld[:, None], tmin_b,
+                                    tmax_b, p0[None], p1[None], p2[None],
+                                    p3[None])                    # [R,E]
+            # local hit position via the same quad interpolation as
+            # eval_position (sceneval._interp), then the world transform
+            u = isec.uv[..., 0:1]
+            v = isec.uv[..., 1:2]
+            lower = (isec.uv[..., 0] + isec.uv[..., 1]) <= 1.0
+            tri_a = (p0[None] * (1.0 - u - v) + p1[None] * u
+                     + p3[None] * v)
+            iu, iv = 1.0 - u, 1.0 - v
+            tri_b = (p2[None] * (1.0 - iu - iv) + p3[None] * iu
+                     + p1[None] * iv)
+            local = jnp.where(lower[..., None], tri_a, tri_b)    # [R,E,3]
+            lposition = M.transform_point(frame, local)
+            # element normals ([E,3]), same arithmetic as eval_element_normal
+            n_a = M.normalize(M.cross(p1 - p0, p3 - p0))
+            n_b = M.normalize(M.cross(p3 - p2, p1 - p2))
+            lnormal = M.transform_normal(frame, M.normalize(n_a + n_b))
+            d2 = M.distance_squared(lposition, position[:, None])
+            denom = jnp.abs(M.dot(lnormal[None], direction[:, None])) * area
+            safe = jnp.where(denom == 0.0, 1.0, denom)
+            contrib = jnp.where(isec.hit & (denom != 0.0), d2 / safe, 0.0)
+            pdf = pdf + contrib.sum(-1)
         else:
-            # instance light: walk all hits along the ray
+            # huge light: bounded sequential walk fallback
             area = lights.cdf_total[li]
             lpdf = jnp.zeros(R, jnp.float32)
             next_pos = position

@@ -115,18 +115,31 @@ def _vol_pop(st: PathState, cond):
 
 def make_path_sampler(scene: FlatScene, lights: FlatLights,
                       meta: LightsMeta, params: TraceParams,
-                      intersect_fn):
-    """Build the `trace_path` step (yocto_trace.cpp:453-596 semantics)."""
+                      intersect_fn, features=None):
+    """Build the `trace_path` step (yocto_trace.cpp:453-596 semantics).
 
+    `features` (SceneFeatures) statically disables machinery no material in
+    the scene can trigger — volumes, opacity passthrough, delta lobes —
+    which is bit-identical to running it behind all-false masks (all RNG
+    draw sites are mask-guarded, so the per-pixel streams are unchanged)."""
+    from .compile import ALL_FEATURES
+
+    feat = features if features is not None else ALL_FEATURES
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     has_lights = meta.n_lights > 0
+    has_volumes = feat.has_volumes
+    has_opacity = feat.has_opacity
+    has_delta = feat.has_delta
+    types = feat.mat_types
     max_iters = params.bounces + 130
 
     def body(st: PathState) -> PathState:
         isec = intersect_fn(scene, st.ro, st.rd)
         act = st.alive
         hit_l = act & isec.hit
+        Rn = st.ro.shape[0]
+        false_ = jnp.zeros(Rn, bool)
 
         # --- miss: environment, then terminate
         miss = act & ~isec.hit
@@ -145,31 +158,37 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
 
         # --- volume transmittance (only lanes inside a volume)
-        in_stack = hit_l & (st.vol_depth > 0)
-        # gcc evaluates sample_transmittance's args right-to-left: the
-        # distance rand (rd) is drawn before the channel rand (rl)
-        r_tr2, rng = R.rand1f_if(st.rng, in_stack)
-        r_tr1, rng = R.rand1f_if(rng, in_stack)
-        top_density, top_scat, top_aniso = _vol_top(st)
-        tdist = SH.sample_transmittance(top_density, isec.distance,
-                                        r_tr1, r_tr2)
-        trans = SH.eval_transmittance(top_density, tdist)
-        tpdf = SH.sample_transmittance_pdf(top_density, tdist,
-                                           isec.distance)
-        safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
-        weight = _where3(in_stack, st.weight * trans / safe_tpdf, st.weight)
-        in_volume = in_stack & (tdist < isec.distance)
-        st = st._replace(weight=weight, rng=rng)
+        if has_volumes:
+            in_stack = hit_l & (st.vol_depth > 0)
+            # gcc evaluates sample_transmittance's args right-to-left: the
+            # distance rand (rd) is drawn before the channel rand (rl)
+            r_tr2, rng = R.rand1f_if(st.rng, in_stack)
+            r_tr1, rng = R.rand1f_if(rng, in_stack)
+            top_density, top_scat, top_aniso = _vol_top(st)
+            tdist = SH.sample_transmittance(top_density, isec.distance,
+                                            r_tr1, r_tr2)
+            trans = SH.eval_transmittance(top_density, tdist)
+            tpdf = SH.sample_transmittance_pdf(top_density, tdist,
+                                               isec.distance)
+            safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+            weight = _where3(in_stack, st.weight * trans / safe_tpdf,
+                             st.weight)
+            in_volume = in_stack & (tdist < isec.distance)
+            st = st._replace(weight=weight, rng=rng)
+        else:
+            in_volume = false_
 
         # ====================================================================
         # Surface branch
         # ====================================================================
-        surf = hit_l & ~in_volume
+        surf = hit_l & ~in_volume if has_volumes else hit_l
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
+        material = eval_material(scene, inst, gelem, isec.uv,
+                                 features=features)
 
         if params.nocaustics:
             max_roughness = jnp.where(
@@ -180,14 +199,18 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
             st = st._replace(max_roughness=max_roughness)
 
         # --- opacity passthrough (yocto_trace.cpp:505-510)
-        op_lt1 = surf & (material.opacity < 1.0)
-        r_op, rng = R.rand1f_if(st.rng, op_lt1)
-        op_skip = op_lt1 & (r_op >= material.opacity)
-        op_die = op_skip & (st.opbounce > 128)
-        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
-        alive = st.alive & ~op_die
-        shade = surf & ~op_skip
-        st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+        if has_opacity:
+            op_lt1 = surf & (material.opacity < 1.0)
+            r_op, rng = R.rand1f_if(st.rng, op_lt1)
+            op_skip = op_lt1 & (r_op >= material.opacity)
+            op_die = op_skip & (st.opbounce > 128)
+            opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+            alive = st.alive & ~op_die
+            shade = surf & ~op_skip
+            st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+        else:
+            op_skip = false_
+            shade = surf
 
         # --- first-hit AOVs
         first = shade & (st.bounce == 0)
@@ -202,14 +225,15 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
             shade, st.radiance + st.weight * emis, st.radiance))
 
         # --- next direction
-        delta = is_delta_point(material)
-        nd = shade & ~delta
+        delta = is_delta_point(material) if has_delta else false_
+        nd = shade & ~delta if has_delta else shade
         r_choice, rng = R.rand1f_if(st.rng, nd)
         use_bsdf = r_choice < 0.5
         # right-to-left arg order: the 2d pair precedes the lobe rand
         rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
         rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
-        inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2,
+                                    types=types)
         if has_lights:
             # right-to-left arg order: ruv, then rel, then rl
             ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
@@ -222,8 +246,10 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
             incoming_nd = inc_bsdf
         nd_zero = nd & M.is_zero3(incoming_nd)
         nd_ok = nd & ~nd_zero
-        f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd)
-        pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd)
+        f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd,
+                              types=types)
+        pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd,
+                                     types=types)
         if has_lights:
             pdf_l = sample_lights_pdf(scene, lights, meta, position,
                                       incoming_nd)
@@ -234,75 +260,88 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
         weight = _where3(nd_ok, st.weight * f_nd / safe_pdf_nd, st.weight)
 
         # delta branch
-        dl = shade & delta
-        r_delta, rng = R.rand1f_if(rng, dl)
-        inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
-        dl_zero = dl & M.is_zero3(inc_delta)
-        dl_ok = dl & ~dl_zero
-        f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
-        pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
-        safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
-        weight = _where3(dl_ok, weight * f_dl / safe_pdf_dl, weight)
-
-        incoming = _where3(delta, inc_delta, incoming_nd)
-        alive = st.alive & ~(nd_zero | dl_zero)
+        if has_delta:
+            dl = shade & delta
+            r_delta, rng = R.rand1f_if(rng, dl)
+            inc_delta = B.sample_delta(material, normal, outgoing, r_delta,
+                                       types=types)
+            dl_zero = dl & M.is_zero3(inc_delta)
+            dl_ok = dl & ~dl_zero
+            f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                types=types)
+            pdf_dl = B.sample_delta_pdf(material, normal, outgoing,
+                                        inc_delta, types=types)
+            safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+            weight = _where3(dl_ok, weight * f_dl / safe_pdf_dl, weight)
+            incoming = _where3(delta, inc_delta, incoming_nd)
+            alive = st.alive & ~(nd_zero | dl_zero)
+        else:
+            incoming = incoming_nd
+            alive = st.alive & ~nd_zero
         st = st._replace(weight=weight, rng=rng, alive=alive)
 
         # --- volume stack update (yocto_trace.cpp:544-553)
-        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
-        vol_change = shade & alive & crossed \
-            & is_volumetric_instance(scene, inst)
-        push = vol_change & (st.vol_depth == 0)
-        pop = vol_change & (st.vol_depth > 0)
-        st = _vol_push(st, push, material.density, material.scattering,
-                       material.scanisotropy)
-        st = _vol_pop(st, pop)
+        if has_volumes:
+            crossed = (M.dot(normal, outgoing)
+                       * M.dot(normal, incoming)) < 0.0
+            vol_change = shade & alive & crossed \
+                & is_volumetric_instance(scene, inst)
+            push = vol_change & (st.vol_depth == 0)
+            pop = vol_change & (st.vol_depth > 0)
+            st = _vol_push(st, push, material.density, material.scattering,
+                           material.scanisotropy)
+            st = _vol_pop(st, pop)
 
         # --- next ray (surface lanes)
         ro = _where3(shade, position, st.ro)
         rd = _where3(shade, incoming, st.rd)
         # opacity passthrough ray
-        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        if has_opacity:
+            ro = _where3(op_skip, position + st.rd * 1e-2, ro)
         st = st._replace(ro=ro, rd=rd)
 
         # ====================================================================
         # Volume interaction branch (yocto_trace.cpp:556-583)
         # ====================================================================
-        vol = hit_l & in_volume & st.alive
-        position_v = st.ro + st.rd * tdist[..., None]
-        outgoing_v = -st.rd
-        r_choice_v, rng = R.rand1f_if(st.rng, vol)
-        use_scat = r_choice_v < 0.5
-        rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
-        rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
-        inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
-        if has_lights:
-            ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
-            rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
-            rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
-            inc_light_v = sample_lights(scene, lights, meta, position_v,
-                                        rl_v, rel_v, ruv_v)
-            incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+        if has_volumes:
+            vol = hit_l & in_volume & st.alive
+            position_v = st.ro + st.rd * tdist[..., None]
+            outgoing_v = -st.rd
+            r_choice_v, rng = R.rand1f_if(st.rng, vol)
+            use_scat = r_choice_v < 0.5
+            rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+            rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+            inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+            if has_lights:
+                ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                inc_light_v = sample_lights(scene, lights, meta, position_v,
+                                            rl_v, rel_v, ruv_v)
+                incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+            else:
+                incoming_v = inc_scat
+            v_zero = vol & M.is_zero3(incoming_v)
+            v_ok = vol & ~v_zero
+            f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                    outgoing_v, incoming_v)
+            pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                             outgoing_v, incoming_v)
+            if has_lights:
+                pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
+                                           incoming_v)
+                pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+            else:
+                pdf_v = 0.5 * pdf_vs
+            safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+            weight = _where3(v_ok, st.weight * f_v / safe_pdf_v, st.weight)
+            alive = st.alive & ~v_zero
+            ro = _where3(v_ok, position_v, st.ro)
+            rd = _where3(v_ok, incoming_v, st.rd)
+            st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd,
+                             rng=rng)
         else:
-            incoming_v = inc_scat
-        v_zero = vol & M.is_zero3(incoming_v)
-        v_ok = vol & ~v_zero
-        f_v = B.eval_scattering(top_density, top_scat, top_aniso,
-                                outgoing_v, incoming_v)
-        pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
-                                         outgoing_v, incoming_v)
-        if has_lights:
-            pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
-                                       incoming_v)
-            pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
-        else:
-            pdf_v = 0.5 * pdf_vs
-        safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
-        weight = _where3(v_ok, st.weight * f_v / safe_pdf_v, st.weight)
-        alive = st.alive & ~v_zero
-        ro = _where3(v_ok, position_v, st.ro)
-        rd = _where3(v_ok, incoming_v, st.rd)
-        st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd, rng=rng)
+            vol = false_
 
         # ====================================================================
         # Weight check + Russian roulette (applies to shaded/volume lanes)
@@ -346,9 +385,15 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
 
 
 def make_naive_sampler(scene: FlatScene, lights: FlatLights,
-                       meta: LightsMeta, params: TraceParams, intersect_fn):
+                       meta: LightsMeta, params: TraceParams, intersect_fn,
+                       features=None):
     """`trace_naive` (yocto_trace.cpp:1032-1108): BSDF sampling only."""
+    from .compile import ALL_FEATURES
 
+    feat = features if features is not None else ALL_FEATURES
+    types = feat.mat_types
+    has_opacity = feat.has_opacity
+    has_delta = feat.has_delta
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     max_iters = params.bounces + 130
@@ -371,17 +416,22 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features)
 
-        op_lt1 = hit_l & (material.opacity < 1.0)
-        r_op, rng = R.rand1f_if(st.rng, op_lt1)
-        op_skip = op_lt1 & (r_op >= material.opacity)
-        op_die = op_skip & (st.opbounce > 128)
-        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
-        shade = hit_l & ~op_skip
-        st = st._replace(rng=rng, opbounce=opbounce,
-                         alive=st.alive & ~op_die)
+        if has_opacity:
+            op_lt1 = hit_l & (material.opacity < 1.0)
+            r_op, rng = R.rand1f_if(st.rng, op_lt1)
+            op_skip = op_lt1 & (r_op >= material.opacity)
+            op_die = op_skip & (st.opbounce > 128)
+            opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+            shade = hit_l & ~op_skip
+            st = st._replace(rng=rng, opbounce=opbounce,
+                             alive=st.alive & ~op_die)
+        else:
+            op_skip = jnp.zeros_like(hit_l)
+            shade = hit_l
 
         first = shade & (st.bounce == 0)
         st = st._replace(
@@ -396,25 +446,34 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
         rough = shade & (material.roughness != 0.0)
         rn2, rng = R.rand2f_if(st.rng, rough)
         rnl, rng = R.rand1f_if(rng, rough)
-        inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2,
+                                 types=types)
         r_zero = rough & M.is_zero3(inc_r)
-        f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r)
-        pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r)
+        f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r,
+                             types=types)
+        pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r,
+                                     types=types)
         safe_r = jnp.where(pdf_r == 0.0, 1.0, pdf_r)[..., None]
         weight = _where3(rough & ~r_zero, st.weight * f_r / safe_r,
                          st.weight)
 
-        dl = shade & (material.roughness == 0.0)
-        r_d, rng = R.rand1f_if(rng, dl)
-        inc_d = B.sample_delta(material, normal, outgoing, r_d)
-        d_zero = dl & M.is_zero3(inc_d)
-        f_d = B.eval_delta(material, normal, outgoing, inc_d)
-        pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
-        safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
-        weight = _where3(dl & ~d_zero, weight * f_d / safe_d, weight)
-
-        incoming = _where3(material.roughness != 0.0, inc_r, inc_d)
-        alive = st.alive & ~(r_zero | d_zero)
+        if has_delta:
+            dl = shade & (material.roughness == 0.0)
+            r_d, rng = R.rand1f_if(rng, dl)
+            inc_d = B.sample_delta(material, normal, outgoing, r_d,
+                                   types=types)
+            d_zero = dl & M.is_zero3(inc_d)
+            f_d = B.eval_delta(material, normal, outgoing, inc_d,
+                               types=types)
+            pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d,
+                                       types=types)
+            safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+            weight = _where3(dl & ~d_zero, weight * f_d / safe_d, weight)
+            incoming = _where3(material.roughness != 0.0, inc_r, inc_d)
+            alive = st.alive & ~(r_zero | d_zero)
+        else:
+            incoming = inc_r
+            alive = st.alive & ~r_zero
         st = st._replace(weight=weight, alive=alive, rng=rng)
 
         processed = shade & st.alive
@@ -434,7 +493,8 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
 
         ro = _where3(shade & st.alive, position, st.ro)
         rd = _where3(shade & st.alive, incoming, st.rd)
-        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        if has_opacity:
+            ro = _where3(op_skip, position + st.rd * 1e-2, ro)
         bounce = jnp.where(shade & st.alive, st.bounce + 1, st.bounce)
         alive = st.alive & (op_skip | (bounce < params.bounces)) \
             & (shade | op_skip)
@@ -454,9 +514,14 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
 
 def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
                           meta: LightsMeta, params: TraceParams,
-                          intersect_fn):
+                          intersect_fn, features=None):
     """`trace_eyelight` (yocto_trace.cpp:1111-1176)."""
+    from .compile import ALL_FEATURES
 
+    feat = features if features is not None else ALL_FEATURES
+    types = feat.mat_types
+    has_opacity = feat.has_opacity
+    has_delta = feat.has_delta
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     bounces = max(params.bounces, 4)
@@ -480,17 +545,22 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features)
 
-        op_lt1 = hit_l & (material.opacity < 1.0)
-        r_op, rng = R.rand1f_if(st.rng, op_lt1)
-        op_skip = op_lt1 & (r_op >= material.opacity)
-        op_die = op_skip & (st.opbounce > 128)
-        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
-        shade = hit_l & ~op_skip
-        st = st._replace(rng=rng, opbounce=opbounce,
-                         alive=st.alive & ~op_die)
+        if has_opacity:
+            op_lt1 = hit_l & (material.opacity < 1.0)
+            r_op, rng = R.rand1f_if(st.rng, op_lt1)
+            op_skip = op_lt1 & (r_op >= material.opacity)
+            op_die = op_skip & (st.opbounce > 128)
+            opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+            shade = hit_l & ~op_skip
+            st = st._replace(rng=rng, opbounce=opbounce,
+                             alive=st.alive & ~op_die)
+        else:
+            op_skip = jnp.zeros_like(hit_l)
+            shade = hit_l
 
         first = shade & (st.bounce == 0)
         st = st._replace(
@@ -500,30 +570,42 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
 
         incoming = outgoing
         emis = B.eval_emission(material, normal, outgoing)
-        fcos = B.eval_bsdfcos(material, normal, outgoing, incoming)
+        fcos = B.eval_bsdfcos(material, normal, outgoing, incoming,
+                              types=types)
         st = st._replace(radiance=_where3(
             shade, st.radiance + st.weight * (emis + M.pif * fcos),
             st.radiance))
 
-        delta = is_delta_point(material)
-        cont = shade & delta
-        r_d, rng = R.rand1f_if(st.rng, cont)
-        inc_d = B.sample_delta(material, normal, outgoing, r_d)
-        d_zero = cont & M.is_zero3(inc_d)
-        f_d = B.eval_delta(material, normal, outgoing, inc_d)
-        pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
-        safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
-        weight = _where3(cont & ~d_zero, st.weight * f_d / safe_d,
-                         st.weight)
-        wzero = M.is_zero3(weight)
-        wbad = ~M.isfinite3(weight)
-        alive = st.alive & cont & ~d_zero & ~wzero & ~wbad
+        if has_delta:
+            delta = is_delta_point(material)
+            cont = shade & delta
+            r_d, rng = R.rand1f_if(st.rng, cont)
+            inc_d = B.sample_delta(material, normal, outgoing, r_d,
+                                   types=types)
+            d_zero = cont & M.is_zero3(inc_d)
+            f_d = B.eval_delta(material, normal, outgoing, inc_d,
+                               types=types)
+            pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d,
+                                       types=types)
+            safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+            weight = _where3(cont & ~d_zero, st.weight * f_d / safe_d,
+                             st.weight)
+            wzero = M.is_zero3(weight)
+            wbad = ~M.isfinite3(weight)
+            alive = st.alive & cont & ~d_zero & ~wzero & ~wbad
+        else:
+            cont = jnp.zeros_like(shade)
+            inc_d = st.rd
+            weight = st.weight
+            rng = st.rng
+            alive = jnp.zeros_like(st.alive)
         alive = alive | (st.alive & op_skip)
         st = st._replace(weight=weight, rng=rng)
 
         ro = _where3(cont, position, st.ro)
         rd = _where3(cont, inc_d, st.rd)
-        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        if has_opacity:
+            ro = _where3(op_skip, position + st.rd * 1e-2, ro)
         bounce = jnp.where(cont & ~op_skip, st.bounce + 1, st.bounce)
         alive = alive & (op_skip | (bounce < bounces))
         st = st._replace(ro=ro, rd=rd, bounce=bounce, alive=alive,
@@ -542,7 +624,7 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
 
 def make_falsecolor_sampler(scene: FlatScene, lights: FlatLights,
                             meta: LightsMeta, params: TraceParams,
-                            intersect_fn):
+                            intersect_fn, features=None):
     """`trace_falsecolor` AOVs (yocto_trace.cpp:1341-1419)."""
     from ..ops.color import colormap
 
@@ -566,10 +648,11 @@ def make_falsecolor_sampler(scene: FlatScene, lights: FlatLights,
         outgoing = -rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
         gnormal = eval_element_normal(scene, inst, gelem)
         texcoord = eval_texcoord(scene, inst, gelem, isec.uv)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features)
         delta = is_delta_point(material)
 
         t = FalsecolorType
@@ -633,11 +716,16 @@ def make_falsecolor_sampler(scene: FlatScene, lights: FlatLights,
 
 def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
                          meta: LightsMeta, params: TraceParams,
-                         intersect_fn):
+                         intersect_fn, features=None):
     """`trace_furnace` (yocto_trace.cpp:1247-1338): white-furnace test —
     energy-conserving BSDFs must render flat 1.0 under a constant
     environment."""
+    from .compile import ALL_FEATURES
 
+    feat = features if features is not None else ALL_FEATURES
+    types = feat.mat_types
+    has_opacity = feat.has_opacity
+    has_delta = feat.has_delta
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     max_iters = params.bounces + 130
@@ -670,17 +758,22 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features)
 
-        op_lt1 = hit_l & (material.opacity < 1.0)
-        r_op, rng = R.rand1f_if(st.rng, op_lt1)
-        op_skip = op_lt1 & (r_op >= material.opacity)
-        op_die = op_skip & (st.opbounce > 128)
-        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
-        shade = hit_l & ~op_skip
-        st = st._replace(rng=rng, opbounce=opbounce,
-                         alive=st.alive & ~op_die)
+        if has_opacity:
+            op_lt1 = hit_l & (material.opacity < 1.0)
+            r_op, rng = R.rand1f_if(st.rng, op_lt1)
+            op_skip = op_lt1 & (r_op >= material.opacity)
+            op_die = op_skip & (st.opbounce > 128)
+            opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+            shade = hit_l & ~op_skip
+            st = st._replace(rng=rng, opbounce=opbounce,
+                             alive=st.alive & ~op_die)
+        else:
+            op_skip = jnp.zeros_like(hit_l)
+            shade = hit_l
 
         first = shade & (st.bounce == 0)
         st = st._replace(
@@ -695,25 +788,34 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
         rough = shade & (material.roughness != 0.0)
         rn2, rng = R.rand2f_if(st.rng, rough)
         rnl, rng = R.rand1f_if(rng, rough)
-        inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        inc_r = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2,
+                                 types=types)
         r_zero = rough & M.is_zero3(inc_r)
-        f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r)
-        pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r)
+        f_r = B.eval_bsdfcos(material, normal, outgoing, inc_r,
+                             types=types)
+        pdf_r = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_r,
+                                     types=types)
         safe_r = jnp.where(pdf_r == 0.0, 1.0, pdf_r)[..., None]
         weight = _where3(rough & ~r_zero, st.weight * f_r / safe_r,
                          st.weight)
 
-        dl = shade & (material.roughness == 0.0)
-        r_d, rng = R.rand1f_if(rng, dl)
-        inc_d = B.sample_delta(material, normal, outgoing, r_d)
-        d_zero = dl & M.is_zero3(inc_d)
-        f_d = B.eval_delta(material, normal, outgoing, inc_d)
-        pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d)
-        safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
-        weight = _where3(dl & ~d_zero, weight * f_d / safe_d, weight)
-
-        incoming = _where3(material.roughness != 0.0, inc_r, inc_d)
-        alive = st.alive & ~(r_zero | d_zero)
+        if has_delta:
+            dl = shade & (material.roughness == 0.0)
+            r_d, rng = R.rand1f_if(rng, dl)
+            inc_d = B.sample_delta(material, normal, outgoing, r_d,
+                                   types=types)
+            d_zero = dl & M.is_zero3(inc_d)
+            f_d = B.eval_delta(material, normal, outgoing, inc_d,
+                               types=types)
+            pdf_d = B.sample_delta_pdf(material, normal, outgoing, inc_d,
+                                       types=types)
+            safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
+            weight = _where3(dl & ~d_zero, weight * f_d / safe_d, weight)
+            incoming = _where3(material.roughness != 0.0, inc_r, inc_d)
+            alive = st.alive & ~(r_zero | d_zero)
+        else:
+            incoming = inc_r
+            alive = st.alive & ~r_zero
         st = st._replace(weight=weight, alive=alive, rng=rng)
 
         processed = shade & st.alive
@@ -739,7 +841,8 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
 
         ro = _where3(shade & st.alive, position, st.ro)
         rd = _where3(shade & st.alive, incoming, st.rd)
-        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        if has_opacity:
+            ro = _where3(op_skip, position + st.rd * 1e-2, ro)
         bounce = jnp.where(shade & st.alive, st.bounce + 1, st.bounce)
         alive = st.alive & (op_skip | (bounce < params.bounces)) \
             & (shade | op_skip)
@@ -758,15 +861,16 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
 
 
 
-def _nee_emission(scene, intersect_fn, position, incoming):
+def _nee_emission(scene, intersect_fn, position, incoming, features=None):
     """Emission seen along (position, incoming): environment on miss, or the
     hit point's facing emission (shared by pathdirect/pathmis NEE)."""
     isec = intersect_fn(scene, position, incoming)
     inst = jnp.maximum(isec.instance, 0)
     shape = scene.inst_shape[inst]
     gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
-    mat = eval_material(scene, inst, gelem, isec.uv)
-    nrm = eval_shading_normal(scene, inst, gelem, isec.uv, -incoming)
+    mat = eval_material(scene, inst, gelem, isec.uv, features=features)
+    nrm = eval_shading_normal(scene, inst, gelem, isec.uv, -incoming,
+                              features=features)
     hit_em = B.eval_emission(mat, nrm, -incoming)
     if scene.env_frame.shape[0] > 0:
         env = eval_environment(scene, incoming)
@@ -777,10 +881,16 @@ def _nee_emission(scene, intersect_fn, position, incoming):
 
 def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
                             meta: LightsMeta, params: TraceParams,
-                            intersect_fn):
+                            intersect_fn, features=None):
     """`trace_pathdirect` (yocto_trace.cpp:599-767): NEE at every rough
     vertex + 50/50 MIS continuation; emission gated by next_emission."""
+    from .compile import ALL_FEATURES
 
+    feat = features if features is not None else ALL_FEATURES
+    types = feat.mat_types
+    has_volumes = feat.has_volumes
+    has_opacity = feat.has_opacity
+    has_delta = feat.has_delta
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     has_lights = meta.n_lights > 0
@@ -790,6 +900,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         isec = intersect_fn(scene, st.ro, st.rd)
         act = st.alive
         hit_l = act & isec.hit
+        false_ = jnp.zeros_like(hit_l)
 
         miss = act & ~isec.hit
         if has_env:
@@ -804,25 +915,31 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
 
-        in_stack = hit_l & (st.vol_depth > 0)
-        r_tr2, rng = R.rand1f_if(st.rng, in_stack)
-        r_tr1, rng = R.rand1f_if(rng, in_stack)
-        top_density, top_scat, top_aniso = _vol_top(st)
-        tdist = SH.sample_transmittance(top_density, isec.distance,
-                                        r_tr1, r_tr2)
-        trans = SH.eval_transmittance(top_density, tdist)
-        tpdf = SH.sample_transmittance_pdf(top_density, tdist, isec.distance)
-        safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
-        weight = _where3(in_stack, st.weight * trans / safe_tpdf, st.weight)
-        in_volume = in_stack & (tdist < isec.distance)
-        st = st._replace(weight=weight, rng=rng)
-
-        surf = hit_l & ~in_volume
+        if has_volumes:
+            in_stack = hit_l & (st.vol_depth > 0)
+            r_tr2, rng = R.rand1f_if(st.rng, in_stack)
+            r_tr1, rng = R.rand1f_if(rng, in_stack)
+            top_density, top_scat, top_aniso = _vol_top(st)
+            tdist = SH.sample_transmittance(top_density, isec.distance,
+                                            r_tr1, r_tr2)
+            trans = SH.eval_transmittance(top_density, tdist)
+            tpdf = SH.sample_transmittance_pdf(top_density, tdist,
+                                               isec.distance)
+            safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+            weight = _where3(in_stack, st.weight * trans / safe_tpdf,
+                             st.weight)
+            in_volume = in_stack & (tdist < isec.distance)
+            st = st._replace(weight=weight, rng=rng)
+            surf = hit_l & ~in_volume
+        else:
+            in_volume = false_
+            surf = hit_l
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features)
 
         if params.nocaustics:
             max_roughness = jnp.where(
@@ -832,14 +949,18 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
                 roughness=jnp.where(surf, max_roughness, material.roughness))
             st = st._replace(max_roughness=max_roughness)
 
-        op_lt1 = surf & (material.opacity < 1.0)
-        r_op, rng = R.rand1f_if(st.rng, op_lt1)
-        op_skip = op_lt1 & (r_op >= material.opacity)
-        op_die = op_skip & (st.opbounce > 128)
-        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
-        alive = st.alive & ~op_die
-        shade = surf & ~op_skip
-        st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+        if has_opacity:
+            op_lt1 = surf & (material.opacity < 1.0)
+            r_op, rng = R.rand1f_if(st.rng, op_lt1)
+            op_skip = op_lt1 & (r_op >= material.opacity)
+            op_die = op_skip & (st.opbounce > 128)
+            opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+            alive = st.alive & ~op_die
+            shade = surf & ~op_skip
+            st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+        else:
+            op_skip = false_
+            shade = surf
 
         first = shade & (st.bounce == 0)
         st = st._replace(
@@ -852,8 +973,8 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             shade & st.next_emission, st.radiance + st.weight * emis,
             st.radiance))
 
-        delta = is_delta_point(material)
-        nd = shade & ~delta
+        delta = is_delta_point(material) if has_delta else false_
+        nd = shade & ~delta if has_delta else shade
 
         # --- direct lighting (NEE) on rough vertices
         if has_lights:
@@ -863,10 +984,11 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             inc_d = sample_lights(scene, lights, meta, position,
                                   rl_d, rel_d, ruv_d)
             pdf_d = sample_lights_pdf(scene, lights, meta, position, inc_d)
-            f_d = B.eval_bsdfcos(material, normal, outgoing, inc_d)
+            f_d = B.eval_bsdfcos(material, normal, outgoing, inc_d,
+                                 types=types)
             ok_d = nd & ~M.is_zero3(f_d) & (pdf_d > 0.0)
             emission_d, _ = _nee_emission(scene, intersect_fn, position,
-                                          inc_d)
+                                          inc_d, features=features)
             safe_pd = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[..., None]
             st = st._replace(rng=rng, radiance=_where3(
                 ok_d, st.radiance + st.weight * f_d * emission_d / safe_pd,
@@ -879,7 +1001,8 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         use_bsdf = r_choice < 0.5
         rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
         rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
-        inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2)
+        inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl, rn2,
+                                    types=types)
         if has_lights:
             ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
             rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
@@ -891,8 +1014,10 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             incoming_nd = inc_bsdf
         nd_zero = nd & M.is_zero3(incoming_nd)
         nd_ok = nd & ~nd_zero
-        f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd)
-        pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd)
+        f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd,
+                              types=types)
+        pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, incoming_nd,
+                                     types=types)
         if has_lights:
             pdf_l = sample_lights_pdf(scene, lights, meta, position,
                                       incoming_nd)
@@ -902,70 +1027,83 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         safe_pdf_nd = jnp.where(pdf_nd == 0.0, 1.0, pdf_nd)[..., None]
         weight = _where3(nd_ok, st.weight * f_nd / safe_pdf_nd, st.weight)
 
-        dl = shade & delta
-        r_delta, rng = R.rand1f_if(rng, dl)
-        inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
-        dl_zero = dl & M.is_zero3(inc_delta)
-        dl_ok = dl & ~dl_zero
-        f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
-        pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
-        safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
-        weight = _where3(dl_ok, weight * f_dl / safe_pdf_dl, weight)
-
-        incoming = _where3(delta, inc_delta, incoming_nd)
-        alive = st.alive & ~(nd_zero | dl_zero)
+        if has_delta:
+            dl = shade & delta
+            r_delta, rng = R.rand1f_if(rng, dl)
+            inc_delta = B.sample_delta(material, normal, outgoing, r_delta,
+                                       types=types)
+            dl_zero = dl & M.is_zero3(inc_delta)
+            dl_ok = dl & ~dl_zero
+            f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                types=types)
+            pdf_dl = B.sample_delta_pdf(material, normal, outgoing,
+                                        inc_delta, types=types)
+            safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+            weight = _where3(dl_ok, weight * f_dl / safe_pdf_dl, weight)
+            incoming = _where3(delta, inc_delta, incoming_nd)
+            alive = st.alive & ~(nd_zero | dl_zero)
+        else:
+            incoming = incoming_nd
+            alive = st.alive & ~nd_zero
         st = st._replace(weight=weight, rng=rng, alive=alive)
 
-        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
-        vol_change = shade & alive & crossed \
-            & is_volumetric_instance(scene, inst)
-        push = vol_change & (st.vol_depth == 0)
-        pop = vol_change & (st.vol_depth > 0)
-        st = _vol_push(st, push, material.density, material.scattering,
-                       material.scanisotropy)
-        st = _vol_pop(st, pop)
+        if has_volumes:
+            crossed = (M.dot(normal, outgoing)
+                       * M.dot(normal, incoming)) < 0.0
+            vol_change = shade & alive & crossed \
+                & is_volumetric_instance(scene, inst)
+            push = vol_change & (st.vol_depth == 0)
+            pop = vol_change & (st.vol_depth > 0)
+            st = _vol_push(st, push, material.density, material.scattering,
+                           material.scanisotropy)
+            st = _vol_pop(st, pop)
 
         ro = _where3(shade, position, st.ro)
         rd = _where3(shade, incoming, st.rd)
-        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        if has_opacity:
+            ro = _where3(op_skip, position + st.rd * 1e-2, ro)
         st = st._replace(ro=ro, rd=rd)
 
         # --- volume interaction
-        vol = hit_l & in_volume & st.alive
-        position_v = st.ro + st.rd * tdist[..., None]
-        outgoing_v = -st.rd
-        r_choice_v, rng = R.rand1f_if(st.rng, vol)
-        use_scat = r_choice_v < 0.5
-        rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
-        rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
-        inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
-        if has_lights:
-            ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
-            rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
-            rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
-            inc_light_v = sample_lights(scene, lights, meta, position_v,
-                                        rl_v, rel_v, ruv_v)
-            incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+        if has_volumes:
+            vol = hit_l & in_volume & st.alive
+            position_v = st.ro + st.rd * tdist[..., None]
+            outgoing_v = -st.rd
+            r_choice_v, rng = R.rand1f_if(st.rng, vol)
+            use_scat = r_choice_v < 0.5
+            rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+            rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+            inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+            if has_lights:
+                ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                inc_light_v = sample_lights(scene, lights, meta, position_v,
+                                            rl_v, rel_v, ruv_v)
+                incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+            else:
+                incoming_v = inc_scat
+            v_zero = vol & M.is_zero3(incoming_v)
+            v_ok = vol & ~v_zero
+            f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                    outgoing_v, incoming_v)
+            pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                             outgoing_v, incoming_v)
+            if has_lights:
+                pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
+                                           incoming_v)
+                pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+            else:
+                pdf_v = 0.5 * pdf_vs
+            safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+            weight = _where3(v_ok, st.weight * f_v / safe_pdf_v, st.weight)
+            alive = st.alive & ~v_zero
+            ro = _where3(v_ok, position_v, st.ro)
+            rd = _where3(v_ok, incoming_v, st.rd)
+            st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd,
+                             rng=rng)
         else:
-            incoming_v = inc_scat
-        v_zero = vol & M.is_zero3(incoming_v)
-        v_ok = vol & ~v_zero
-        f_v = B.eval_scattering(top_density, top_scat, top_aniso,
-                                outgoing_v, incoming_v)
-        pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
-                                         outgoing_v, incoming_v)
-        if has_lights:
-            pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
-                                       incoming_v)
-            pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
-        else:
-            pdf_v = 0.5 * pdf_vs
-        safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
-        weight = _where3(v_ok, st.weight * f_v / safe_pdf_v, st.weight)
-        alive = st.alive & ~v_zero
-        ro = _where3(v_ok, position_v, st.ro)
-        rd = _where3(v_ok, incoming_v, st.rd)
-        st = st._replace(weight=weight, alive=alive, ro=ro, rd=rd, rng=rng)
+            vol = false_
 
         processed = (shade | vol) & st.alive
         wzero = M.is_zero3(st.weight)
@@ -1004,12 +1142,18 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
 
 def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
                          meta: LightsMeta, params: TraceParams,
-                         intersect_fn):
+                         intersect_fn, features=None):
     """`trace_pathmis` (yocto_trace.cpp:770-950): full power-2 MIS for both
     strategies at every rough vertex; the BSDF-strategy continuation reuses
     the BSDF sample direction (the reference also caches that intersection;
     re-intersecting the identical ray yields the identical hit)."""
+    from .compile import ALL_FEATURES
 
+    feat = features if features is not None else ALL_FEATURES
+    types = feat.mat_types
+    has_volumes = feat.has_volumes
+    has_opacity = feat.has_opacity
+    has_delta = feat.has_delta
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     has_lights = meta.n_lights > 0
@@ -1023,6 +1167,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         isec = intersect_fn(scene, st.ro, st.rd)
         act = st.alive
         hit_l = act & isec.hit
+        false_ = jnp.zeros_like(hit_l)
 
         miss = act & ~isec.hit
         if has_env:
@@ -1037,25 +1182,31 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
 
-        in_stack = hit_l & (st.vol_depth > 0)
-        r_tr2, rng = R.rand1f_if(st.rng, in_stack)
-        r_tr1, rng = R.rand1f_if(rng, in_stack)
-        top_density, top_scat, top_aniso = _vol_top(st)
-        tdist = SH.sample_transmittance(top_density, isec.distance,
-                                        r_tr1, r_tr2)
-        trans = SH.eval_transmittance(top_density, tdist)
-        tpdf = SH.sample_transmittance_pdf(top_density, tdist, isec.distance)
-        safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
-        weight = _where3(in_stack, st.weight * trans / safe_tpdf, st.weight)
-        in_volume = in_stack & (tdist < isec.distance)
-        st = st._replace(weight=weight, rng=rng)
-
-        surf = hit_l & ~in_volume
+        if has_volumes:
+            in_stack = hit_l & (st.vol_depth > 0)
+            r_tr2, rng = R.rand1f_if(st.rng, in_stack)
+            r_tr1, rng = R.rand1f_if(rng, in_stack)
+            top_density, top_scat, top_aniso = _vol_top(st)
+            tdist = SH.sample_transmittance(top_density, isec.distance,
+                                            r_tr1, r_tr2)
+            trans = SH.eval_transmittance(top_density, tdist)
+            tpdf = SH.sample_transmittance_pdf(top_density, tdist,
+                                               isec.distance)
+            safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+            weight = _where3(in_stack, st.weight * trans / safe_tpdf,
+                             st.weight)
+            in_volume = in_stack & (tdist < isec.distance)
+            st = st._replace(weight=weight, rng=rng)
+            surf = hit_l & ~in_volume
+        else:
+            in_volume = false_
+            surf = hit_l
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
                                          outgoing)
-        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing)
-        material = eval_material(scene, inst, gelem, isec.uv)
+        normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
+                                     features=features)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features)
 
         if params.nocaustics:
             max_roughness = jnp.where(
@@ -1065,14 +1216,18 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
                 roughness=jnp.where(surf, max_roughness, material.roughness))
             st = st._replace(max_roughness=max_roughness)
 
-        op_lt1 = surf & (material.opacity < 1.0)
-        r_op, rng = R.rand1f_if(st.rng, op_lt1)
-        op_skip = op_lt1 & (r_op >= material.opacity)
-        op_die = op_skip & (st.opbounce > 128)
-        opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
-        alive = st.alive & ~op_die
-        shade = surf & ~op_skip
-        st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+        if has_opacity:
+            op_lt1 = surf & (material.opacity < 1.0)
+            r_op, rng = R.rand1f_if(st.rng, op_lt1)
+            op_skip = op_lt1 & (r_op >= material.opacity)
+            op_die = op_skip & (st.opbounce > 128)
+            opbounce = jnp.where(op_skip, st.opbounce + 1, st.opbounce)
+            alive = st.alive & ~op_die
+            shade = surf & ~op_skip
+            st = st._replace(rng=rng, opbounce=opbounce, alive=alive)
+        else:
+            op_skip = false_
+            shade = surf
 
         first = shade & (st.bounce == 0)
         st = st._replace(
@@ -1085,8 +1240,8 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
             shade & st.next_emission, st.radiance + st.weight * emis,
             st.radiance))
 
-        delta = is_delta_point(material)
-        nd = shade & ~delta
+        delta = is_delta_point(material) if has_delta else false_
+        nd = shade & ~delta if has_delta else shade
 
         # --- MIS: light strategy then bsdf strategy
         # light strategy
@@ -1100,17 +1255,20 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
             inc_l = jnp.zeros_like(position)
         l_zero = nd & M.is_zero3(inc_l)
         l_live = nd & ~l_zero
-        f_l = B.eval_bsdfcos(material, normal, outgoing, inc_l)
+        f_l = B.eval_bsdfcos(material, normal, outgoing, inc_l,
+                             types=types)
         if has_lights:
             lpdf_l = sample_lights_pdf(scene, lights, meta, position, inc_l)
         else:
             lpdf_l = jnp.zeros(position.shape[0], jnp.float32)
-        bpdf_l = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_l)
+        bpdf_l = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_l,
+                                      types=types)
         safe_lpdf = jnp.where(lpdf_l == 0.0, 1.0, lpdf_l)
         misw_l = mis_heuristic(lpdf_l, bpdf_l) / safe_lpdf
         misw_l = jnp.where(lpdf_l == 0.0, 0.0, misw_l)
         ok_l = l_live & ~M.is_zero3(f_l) & (misw_l != 0.0)
-        em_l, _ = _nee_emission(scene, intersect_fn, position, inc_l)
+        em_l, _ = _nee_emission(scene, intersect_fn, position, inc_l,
+                                features=features)
         st = st._replace(rng=rng, radiance=_where3(
             ok_l, st.radiance + st.weight * f_l * em_l * misw_l[..., None],
             st.radiance))
@@ -1119,21 +1277,25 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         # matching the reference's for-loop break)
         rn2_b, rng = R.rand2f_if(st.rng, l_live)
         rnl_b, rng = R.rand1f_if(rng, l_live)
-        inc_b = B.sample_bsdfcos(material, normal, outgoing, rnl_b, rn2_b)
+        inc_b = B.sample_bsdfcos(material, normal, outgoing, rnl_b, rn2_b,
+                                 types=types)
         inc_b = _where3(l_live, inc_b, jnp.zeros_like(inc_b))
         b_zero = l_live & M.is_zero3(inc_b)
         b_live = l_live & ~b_zero
-        f_b = B.eval_bsdfcos(material, normal, outgoing, inc_b)
+        f_b = B.eval_bsdfcos(material, normal, outgoing, inc_b,
+                             types=types)
         if has_lights:
             lpdf_b = sample_lights_pdf(scene, lights, meta, position, inc_b)
         else:
             lpdf_b = jnp.zeros(position.shape[0], jnp.float32)
-        bpdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_b)
+        bpdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing, inc_b,
+                                      types=types)
         safe_bpdf = jnp.where(bpdf_b == 0.0, 1.0, bpdf_b)
         misw_b = mis_heuristic(bpdf_b, lpdf_b) / safe_bpdf
         misw_b = jnp.where(bpdf_b == 0.0, 0.0, misw_b)
         ok_b = b_live & ~M.is_zero3(f_b) & (misw_b != 0.0)
-        em_b, _ = _nee_emission(scene, intersect_fn, position, inc_b)
+        em_b, _ = _nee_emission(scene, intersect_fn, position, inc_b,
+                                features=features)
         st = st._replace(rng=rng, radiance=_where3(
             ok_b, st.radiance + st.weight * f_b * em_b * misw_b[..., None],
             st.radiance))
@@ -1148,74 +1310,86 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
                          jnp.full_like(w_nd, jnp.nan), w_nd)
         weight = _where3(nd, w_nd, st.weight)
 
-        dl = shade & delta
-        r_delta, rng = R.rand1f_if(rng, dl)
-        inc_delta = B.sample_delta(material, normal, outgoing, r_delta)
-        f_dl = B.eval_delta(material, normal, outgoing, inc_delta)
-        pdf_dl = B.sample_delta_pdf(material, normal, outgoing, inc_delta)
-        safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
-        w_dl = weight * f_dl / safe_pdf_dl
-        w_dl = jnp.where((pdf_dl == 0.0)[..., None],
-                         jnp.full_like(w_dl, jnp.nan), w_dl)
-        weight = _where3(dl, w_dl, weight)
+        if has_delta:
+            dl = shade & delta
+            r_delta, rng = R.rand1f_if(rng, dl)
+            inc_delta = B.sample_delta(material, normal, outgoing, r_delta,
+                                       types=types)
+            f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                types=types)
+            pdf_dl = B.sample_delta_pdf(material, normal, outgoing,
+                                        inc_delta, types=types)
+            safe_pdf_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+            w_dl = weight * f_dl / safe_pdf_dl
+            w_dl = jnp.where((pdf_dl == 0.0)[..., None],
+                             jnp.full_like(w_dl, jnp.nan), w_dl)
+            weight = _where3(dl, w_dl, weight)
+            incoming = _where3(delta, inc_delta, incoming_nd)
+        else:
+            incoming = incoming_nd
 
         next_emission = jnp.where(shade, delta, st.next_emission)
-        incoming = _where3(delta, inc_delta, incoming_nd)
         st = st._replace(weight=weight, rng=rng,
                          next_emission=next_emission)
 
-        crossed = (M.dot(normal, outgoing) * M.dot(normal, incoming)) < 0.0
-        vol_change = shade & st.alive & crossed \
-            & is_volumetric_instance(scene, inst)
-        push = vol_change & (st.vol_depth == 0)
-        pop = vol_change & (st.vol_depth > 0)
-        st = _vol_push(st, push, material.density, material.scattering,
-                       material.scanisotropy)
-        st = _vol_pop(st, pop)
+        if has_volumes:
+            crossed = (M.dot(normal, outgoing)
+                       * M.dot(normal, incoming)) < 0.0
+            vol_change = shade & st.alive & crossed \
+                & is_volumetric_instance(scene, inst)
+            push = vol_change & (st.vol_depth == 0)
+            pop = vol_change & (st.vol_depth > 0)
+            st = _vol_push(st, push, material.density, material.scattering,
+                           material.scanisotropy)
+            st = _vol_pop(st, pop)
 
         ro = _where3(shade, position, st.ro)
         rd = _where3(shade, incoming, st.rd)
-        ro = _where3(op_skip, position + st.rd * 1e-2, ro)
+        if has_opacity:
+            ro = _where3(op_skip, position + st.rd * 1e-2, ro)
         st = st._replace(ro=ro, rd=rd)
 
         # --- volume interaction
-        vol = hit_l & in_volume & st.alive
-        position_v = st.ro + st.rd * tdist[..., None]
-        outgoing_v = -st.rd
-        r_choice_v, rng = R.rand1f_if(st.rng, vol)
-        use_scat = r_choice_v < 0.5
-        rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
-        rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
-        inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
-        if has_lights:
-            ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
-            rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
-            rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
-            inc_light_v = sample_lights(scene, lights, meta, position_v,
-                                        rl_v, rel_v, ruv_v)
-            incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+        if has_volumes:
+            vol = hit_l & in_volume & st.alive
+            position_v = st.ro + st.rd * tdist[..., None]
+            outgoing_v = -st.rd
+            r_choice_v, rng = R.rand1f_if(st.rng, vol)
+            use_scat = r_choice_v < 0.5
+            rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+            rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+            inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+            if has_lights:
+                ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                inc_light_v = sample_lights(scene, lights, meta, position_v,
+                                            rl_v, rel_v, ruv_v)
+                incoming_v = _where3(use_scat, inc_scat, inc_light_v)
+            else:
+                incoming_v = inc_scat
+            f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                    outgoing_v, incoming_v)
+            pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                             outgoing_v, incoming_v)
+            if has_lights:
+                pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
+                                           incoming_v)
+                pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+            else:
+                pdf_v = 0.5 * pdf_vs
+            safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+            w_v = st.weight * f_v / safe_pdf_v
+            w_v = jnp.where((pdf_v == 0.0)[..., None],
+                            jnp.full_like(w_v, jnp.nan), w_v)
+            weight = _where3(vol, w_v, st.weight)
+            next_emission = jnp.where(vol, True, st.next_emission)
+            ro = _where3(vol, position_v, st.ro)
+            rd = _where3(vol, incoming_v, st.rd)
+            st = st._replace(weight=weight, ro=ro, rd=rd, rng=rng,
+                             next_emission=next_emission)
         else:
-            incoming_v = inc_scat
-        f_v = B.eval_scattering(top_density, top_scat, top_aniso,
-                                outgoing_v, incoming_v)
-        pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
-                                         outgoing_v, incoming_v)
-        if has_lights:
-            pdf_vl = sample_lights_pdf(scene, lights, meta, position_v,
-                                       incoming_v)
-            pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
-        else:
-            pdf_v = 0.5 * pdf_vs
-        safe_pdf_v = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
-        w_v = st.weight * f_v / safe_pdf_v
-        w_v = jnp.where((pdf_v == 0.0)[..., None],
-                        jnp.full_like(w_v, jnp.nan), w_v)
-        weight = _where3(vol, w_v, st.weight)
-        next_emission = jnp.where(vol, True, st.next_emission)
-        ro = _where3(vol, position_v, st.ro)
-        rd = _where3(vol, incoming_v, st.rd)
-        st = st._replace(weight=weight, ro=ro, rd=rd, rng=rng,
-                         next_emission=next_emission)
+            vol = false_
 
         processed = (shade | vol) & st.alive
         wzero = M.is_zero3(st.weight)

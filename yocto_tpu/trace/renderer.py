@@ -27,7 +27,7 @@ from ..models.scene import SceneData
 from ..ops import mathops as M
 from ..ops import rng as R
 from ..ops import sampling as SMP
-from .compile import FlatScene, compile_scene
+from .compile import FlatScene, compile_scene, scene_features
 from .intersect import intersect_scene_bruteforce
 from .lights import FlatLights, LightsMeta, make_trace_lights
 from .params import SamplerType, TraceParams
@@ -111,18 +111,21 @@ def sample_camera_rays(scene: FlatScene, camera: int, width: int,
 def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                 meta: LightsMeta, params: TraceParams, width: int,
                 height: int, row_offset=0, full_height: int = None,
-                bvh=None):
+                bvh=None, features=None):
     """One sample for every pixel (or row block) + accumulation.
     Traced under jit; `row_offset`/`full_height` support tile sharding.
     `bvh` (FlatBvh) selects the accelerated intersector; None = brute
-    force."""
+    force. `features` (SceneFeatures) specializes the traced code to the
+    scene's static capabilities."""
+    kinds = features.kinds if features is not None else None
     if bvh is None:
-        intersect_fn = intersect_scene_bruteforce
+        intersect_fn = partial(intersect_scene_bruteforce, kinds=kinds)
     else:
         from .bvh import make_bvh_intersector
-        intersect_fn = make_bvh_intersector(bvh)
+        intersect_fn = make_bvh_intersector(bvh, kinds=kinds)
     builder = get_sampler_builder(params.sampler)
-    sampler = builder(scene, lights, meta, params, intersect_fn)
+    sampler = builder(scene, lights, meta, params, intersect_fn,
+                      features=features)
 
     ro, rd, rngs = sample_camera_rays(
         scene, params.camera, width, height, state.rng, params.tentfilter,
@@ -173,7 +176,7 @@ def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
 def _multi_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                   meta: LightsMeta, params: TraceParams, width: int,
                   height: int, spp: int, seq_hi, seq_lo, bvh=None,
-                  row_offset=0, full_height: int = None):
+                  row_offset=0, full_height: int = None, features=None):
     """`spp` samples for every pixel in ONE device step (fast mode).
 
     Lanes are (sample, pixel) pairs with per-lane PCG32 streams seeded from
@@ -181,13 +184,15 @@ def _multi_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
     independent of each other and of the exact mode's sequential streams,
     converging to the same expectation. Accumulation applies the
     reference's per-sample clamp before averaging."""
+    kinds = features.kinds if features is not None else None
     if bvh is None:
-        intersect_fn = intersect_scene_bruteforce
+        intersect_fn = partial(intersect_scene_bruteforce, kinds=kinds)
     else:
         from .bvh import make_bvh_intersector
-        intersect_fn = make_bvh_intersector(bvh)
+        intersect_fn = make_bvh_intersector(bvh, kinds=kinds)
     builder = get_sampler_builder(params.sampler)
-    sampler = builder(scene, lights, meta, params, intersect_fn)
+    sampler = builder(scene, lights, meta, params, intersect_fn,
+                      features=features)
 
     n = width * height
     k_lane = (state.samples
@@ -252,6 +257,7 @@ class Renderer:
         self.scene_host = scene
         self.params = params
         self.flat = compile_scene(scene)
+        self.features = scene_features(scene)
         self.lights, self.lights_meta = make_trace_lights(scene)
         self.width, self.height = render_size(scene, params)
         n_candidates = sum(
@@ -268,6 +274,7 @@ class Renderer:
             self.bvh = build_scene_bvh(scene, params.highqualitybvh)
 
         meta, width, height = self.lights_meta, self.width, self.height
+        features = self.features
         spp = max(1, params.spp_batch)
         if spp > 1 or not params.exact_rng:
             seq_hi, seq_lo = R.make_pixel_seqs(width * height)
@@ -276,12 +283,13 @@ class Renderer:
             def step(flat, lights, bvh, state):
                 return _multi_sample(flat, lights, state, meta, params,
                                      width, height, spp, seq_hi, seq_lo,
-                                     bvh=bvh)
+                                     bvh=bvh, features=features)
         else:
             @jax.jit
             def step(flat, lights, bvh, state):
                 return _one_sample(flat, lights, state, meta, params,
-                                   width, height, bvh=bvh)
+                                   width, height, bvh=bvh,
+                                   features=features)
 
         self._step = step
         self.spp_batch = spp

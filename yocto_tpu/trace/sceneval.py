@@ -243,9 +243,11 @@ def eval_element_tangents(scene: FlatScene, inst, elem):
             M.transform_direction(frame, tv))
 
 
-def eval_normalmap(scene: FlatScene, inst, elem, uv):
+def eval_normalmap(scene: FlatScene, inst, elem, uv, features=None):
     """Normal mapping (yocto_scene.cpp:446-467)."""
     normal = eval_normal(scene, inst, elem, uv)
+    if features is not None and not features.has_normal_tex:
+        return normal
     mat = scene.inst_material[inst]
     normal_tex = scene.mat_normal_tex[mat]
     shape = scene.inst_shape[inst]
@@ -271,18 +273,30 @@ def eval_shading_position(scene: FlatScene, inst, elem, uv, outgoing):
     return eval_position(scene, inst, elem, uv)
 
 
-def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing):
+def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing,
+                        features=None):
     """Shading normal with facing flip / line / point handling
     (yocto_scene.cpp:469-505)."""
     shape, kind, _, _ = _gather_elem(scene, inst, elem)
     mat = scene.inst_material[inst]
-    normal = eval_normalmap(scene, inst, elem, uv)
-    is_refractive = scene.mat_type[mat] == int(MaterialType.refractive)
-    flip = (M.dot(normal, outgoing) < 0.0) & ~is_refractive
-    surf_n = jnp.where(flip[..., None], -normal, normal)
-    line_n = M.orthonormalize(outgoing, eval_normal(scene, inst, elem, uv))
-    out = jnp.where((kind == KIND_LINES)[..., None], line_n, surf_n)
-    out = jnp.where((kind == KIND_POINTS)[..., None], outgoing, out)
+    normal = eval_normalmap(scene, inst, elem, uv, features=features)
+    if features is None:
+        kinds = (KIND_POINTS, KIND_LINES, KIND_TRIANGLES, KIND_QUADS)
+        mat_types = tuple(range(8))
+    else:
+        kinds, mat_types = features.kinds, features.mat_types
+    if int(MaterialType.refractive) in mat_types:
+        is_refractive = scene.mat_type[mat] == int(MaterialType.refractive)
+        flip = (M.dot(normal, outgoing) < 0.0) & ~is_refractive
+    else:
+        flip = M.dot(normal, outgoing) < 0.0
+    out = jnp.where(flip[..., None], -normal, normal)
+    if KIND_LINES in kinds:
+        line_n = M.orthonormalize(outgoing,
+                                  eval_normal(scene, inst, elem, uv))
+        out = jnp.where((kind == KIND_LINES)[..., None], line_n, out)
+    if KIND_POINTS in kinds:
+        out = jnp.where((kind == KIND_POINTS)[..., None], outgoing, out)
     return out
 
 
@@ -290,40 +304,81 @@ def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing):
 # Materials (yocto_scene.cpp:531-581)
 # ----------------------------------------------------------------------------
 
-def eval_material(scene: FlatScene, inst, elem, uv) -> MaterialPoint:
+def eval_material(scene: FlatScene, inst, elem, uv,
+                  features=None) -> MaterialPoint:
     mat = scene.inst_material[inst]
-    texcoord = eval_texcoord(scene, inst, elem, uv)
-    emission_tex = eval_texture(
-        scene, scene.mat_emission_tex[mat], texcoord, as_linear=True)
-    color_shp = eval_color(scene, inst, elem, uv)
-    color_tex = eval_texture(
-        scene, scene.mat_color_tex[mat], texcoord, as_linear=True)
-    roughness_tex = eval_texture(
-        scene, scene.mat_roughness_tex[mat], texcoord, as_linear=False)
-    scattering_tex = eval_texture(
-        scene, scene.mat_scattering_tex[mat], texcoord, as_linear=True)
+    f = features
+    need_texcoord = f is None or (f.has_emission_tex or f.has_color_tex
+                                  or f.has_roughness_tex
+                                  or f.has_scattering_tex)
+    texcoord = (eval_texcoord(scene, inst, elem, uv) if need_texcoord
+                else None)
+
+    def tex(slot_has, tex_ids, as_linear):
+        if f is not None and not slot_has:
+            return None
+        return eval_texture(scene, tex_ids, texcoord, as_linear=as_linear)
+
+    emission_tex = tex(f is None or f.has_emission_tex,
+                       scene.mat_emission_tex[mat], True)
+    color_tex = tex(f is None or f.has_color_tex,
+                    scene.mat_color_tex[mat], True)
+    roughness_tex = tex(f is None or f.has_roughness_tex,
+                        scene.mat_roughness_tex[mat], False)
+    scattering_tex = tex(f is None or f.has_scattering_tex,
+                         scene.mat_scattering_tex[mat], True)
+    color_shp = (eval_color(scene, inst, elem, uv)
+                 if f is None or f.has_shape_colors else None)
+
+    def mul3(base, *factors):
+        out = base
+        for fac in factors:
+            if fac is not None:
+                out = out * fac[..., :3]
+        return out
+
+    def mul1(base, *factors):
+        out = base
+        for fac in factors:
+            if fac is not None:
+                out = out * fac[..., 3]
+        return out
 
     mtype = scene.mat_type[mat]
-    emission = scene.mat_emission[mat] * emission_tex[..., :3] \
-        * color_shp[..., :3]
-    color = scene.mat_color[mat] * color_tex[..., :3] * color_shp[..., :3]
-    opacity = scene.mat_opacity[mat] * color_tex[..., 3] * color_shp[..., 3]
-    metallic = scene.mat_metallic[mat] * roughness_tex[..., 2]
-    roughness = scene.mat_roughness[mat] * roughness_tex[..., 1]
+    emission = mul3(scene.mat_emission[mat], emission_tex, color_shp)
+    color = mul3(scene.mat_color[mat], color_tex, color_shp)
+    opacity = mul1(scene.mat_opacity[mat], color_tex, color_shp)
+    metallic = scene.mat_metallic[mat] * (
+        roughness_tex[..., 2] if roughness_tex is not None else 1.0)
+    roughness = scene.mat_roughness[mat] * (
+        roughness_tex[..., 1] if roughness_tex is not None else 1.0)
     roughness = roughness * roughness
     ior = scene.mat_ior[mat]
-    scattering = scene.mat_scattering[mat] * scattering_tex[..., :3]
+    scattering = mul3(scene.mat_scattering[mat], scattering_tex)
     scanisotropy = scene.mat_scanisotropy[mat]
     trdepth = scene.mat_trdepth[mat]
+    # broadcast scalar-per-material columns that skipped texture modulation
+    emission = jnp.broadcast_to(emission, uv.shape[:-1] + (3,))
+    color = jnp.broadcast_to(color, uv.shape[:-1] + (3,))
+    opacity = jnp.broadcast_to(opacity, uv.shape[:-1])
+    metallic = jnp.broadcast_to(metallic, uv.shape[:-1])
+    roughness = jnp.broadcast_to(roughness, uv.shape[:-1])
+    scattering = jnp.broadcast_to(scattering, uv.shape[:-1] + (3,))
 
+    mat_types = tuple(range(8)) if f is None else f.mat_types
     volumetric_types = (
         (mtype == int(MaterialType.refractive))
         | (mtype == int(MaterialType.volumetric))
         | (mtype == int(MaterialType.subsurface)))
-    density = jnp.where(
-        volumetric_types[..., None],
-        -jnp.log(jnp.clip(color, 0.0001, 1.0)) / trdepth[..., None],
-        0.0)
+    if any(t in mat_types for t in (int(MaterialType.refractive),
+                                    int(MaterialType.volumetric),
+                                    int(MaterialType.subsurface))):
+        density = jnp.where(
+            volumetric_types[..., None],
+            -jnp.log(jnp.clip(color, 0.0001, 1.0)) / trdepth[..., None],
+            0.0)
+    else:
+        density = jnp.zeros_like(color)
 
     clamped_types = ((mtype == int(MaterialType.matte))
                      | (mtype == int(MaterialType.gltfpbr))
