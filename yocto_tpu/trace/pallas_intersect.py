@@ -1,0 +1,576 @@
+"""Fused Pallas brute-force scene intersector.
+
+The jnp brute-force sweep (trace.intersect.intersect_scene_bruteforce)
+materializes dozens of [R, C] intermediates in HBM — every unfused op is a
+full HBM round trip, which makes a 36-primitive Cornell intersection cost
+~3.4 ms for 64k rays. This kernel runs the identical candidate sweep
+(same primitive tests as yocto_geometry.h:697-836, same first-closest
+argmin semantics) entirely in VMEM/vector registers: primitives stay
+resident as a packed [32, C] table, rays stream through in tiles, and the
+only HBM traffic is rays in + hits out (the speed-of-light minimum).
+
+Candidate packing (host, mirrors trace.compile's candidate list):
+  rows 0-11   p0.xyz p1.xyz p2.xyz p3.xyz   (instance-local vertices)
+  rows 12-20  instance inverse rotation     (row-major 3x3)
+  rows 21-23  instance inverse origin
+  rows 24-25  r0 r1                         (line/point radii)
+  rows 26-28  instance id, LOCAL element id, kind (int32 bit patterns)
+Padding lanes are all-zero: zero-area triangles / zero-radius points can
+never hit, so padding is a guaranteed miss for every element kind.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import SceneData
+from ..ops import mathops as M
+from .compile import KIND_LINES, KIND_POINTS
+from .intersect import RAY_EPS, SceneIntersection
+
+LANE = 128       # candidate chunk width (vector lanes)
+RAY_TILE = 8192  # rays per grid program
+SUB = 512        # rays per inner sub-tile (bounds VMEM working set)
+
+
+def pack_candidates(scene: SceneData) -> np.ndarray:
+    """Host packing of all (instance, element) candidates -> [32, Cpad]."""
+    cols = []
+    for iidx, inst in enumerate(scene.instances):
+        shape = scene.shapes[inst.shape]
+        nv = len(shape.positions)
+        pos = np.asarray(shape.positions, np.float32).reshape(-1, 3)
+        rad = (np.asarray(shape.radius, np.float32).reshape(-1)
+               if len(shape.radius) == nv else np.zeros(nv, np.float32))
+        if len(shape.triangles):
+            tris = np.asarray(shape.triangles, np.int64)
+            verts = np.concatenate([tris, tris[:, 2:3]], 1)
+            kind = 2
+        elif len(shape.quads):
+            verts = np.asarray(shape.quads, np.int64)
+            kind = 3
+        elif len(shape.lines):
+            lines = np.asarray(shape.lines, np.int64)
+            verts = np.concatenate([lines, lines[:, 1:2], lines[:, 1:2]], 1)
+            kind = KIND_LINES
+        elif len(shape.points):
+            pts = np.asarray(shape.points, np.int64).reshape(-1, 1)
+            verts = np.repeat(pts, 4, 1)
+            kind = KIND_POINTS
+        else:
+            continue
+        n = len(verts)
+        frame = np.asarray(inst.frame, np.float32)
+        inv_rot = np.linalg.inv(frame[:3].astype(np.float64)).astype(
+            np.float32)
+        inv_o = -(frame[3] @ inv_rot)
+        block = np.zeros((32, n), np.float32)
+        for k in range(4):
+            block[3 * k:3 * k + 3] = pos[verts[:, k]].T
+        block[12:21] = np.repeat(inv_rot.reshape(9, 1), n, axis=1)
+        block[21:24] = np.repeat(inv_o.reshape(3, 1), n, axis=1)
+        block[24] = rad[verts[:, 0]]
+        block[25] = rad[verts[:, 1]]
+        block[26] = np.full(n, iidx, np.int32).view(np.float32)
+        block[27] = np.arange(n, dtype=np.int32).view(np.float32)
+        block[28] = np.full(n, kind, np.int32).view(np.float32)
+        cols.append(block)
+    packed = (np.concatenate(cols, axis=1) if cols
+              else np.zeros((32, 1), np.float32))
+    c = packed.shape[1]
+    cpad = max(LANE, ((c + LANE - 1) // LANE) * LANE)
+    out = np.zeros((32, cpad), np.float32)
+    out[:, :c] = packed
+    # padding lanes report instance/element -1
+    out[26, c:] = np.full(cpad - c, -1, np.int32).view(np.float32)
+    out[27, c:] = np.full(cpad - c, -1, np.int32).view(np.float32)
+    out[28, c:] = np.full(cpad - c, 2, np.int32).view(np.float32)
+    return out
+
+
+def _i32(f):
+    return jax.lax.bitcast_convert_type(f, jnp.int32)
+
+
+def _tri_isect(rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+               ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Moller-Trumbore on SoA components (yocto_geometry.h:794-826),
+    identical op structure to ops.geometry.intersect_triangle."""
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+    pvx = rdy * e2z - rdz * e2y
+    pvy = rdz * e2x - rdx * e2z
+    pvz = rdx * e2y - rdy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvx, tvy, tvz = rox - ax, roy - ay, roz - az
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = ((det != 0.0) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t >= tmin) & (t <= tmax))
+    return hit, u, v, t
+
+
+def _kernel(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, kinds):
+    # sub-tile loop: the grid stays coarse (few programs, amortized launch
+    # cost) while each sub-tile's [SUB, LANE] working set stays in VMEM
+    for s0 in range(0, rays_ref.shape[0], SUB):
+        _subtile(rays_ref, prims_ref, outf_ref, outi_ref, s0,
+                 cpad=cpad, kinds=kinds)
+
+
+def _subtile(rays_ref, prims_ref, outf_ref, outi_ref, s0, *, cpad, kinds):
+    rox = rays_ref[s0:s0 + SUB, 0:1]
+    roy = rays_ref[s0:s0 + SUB, 1:2]
+    roz = rays_ref[s0:s0 + SUB, 2:3]
+    rdx = rays_ref[s0:s0 + SUB, 3:4]
+    rdy = rays_ref[s0:s0 + SUB, 4:5]
+    rdz = rays_ref[s0:s0 + SUB, 5:6]
+    tmin = rays_ref[s0:s0 + SUB, 6:7]
+    tmax = rays_ref[s0:s0 + SUB, 7:8]
+    tr = SUB
+
+    best_t = jnp.full((tr, 1), M.flt_max, jnp.float32)
+    best_hit = jnp.zeros((tr, 1), jnp.float32)
+    best_u = jnp.zeros((tr, 1), jnp.float32)
+    best_v = jnp.zeros((tr, 1), jnp.float32)
+    best_inst = jnp.full((tr, 1), -1, jnp.int32)
+    best_elem = jnp.full((tr, 1), -1, jnp.int32)
+
+    has_surface = (2 in kinds) or (3 in kinds)
+    has_line = KIND_LINES in kinds
+    has_pt = KIND_POINTS in kinds
+
+    for c0 in range(0, cpad, LANE):
+        sub = prims_ref[:, c0:c0 + LANE]          # [32, LANE]
+        r = lambda k: sub[k:k + 1, :]             # [1, LANE]
+        # instance-space ray (world t: direction NOT renormalized,
+        # matching intersect.intersect_scene_bruteforce)
+        lox = rox * r(12) + roy * r(15) + roz * r(18) + r(21)
+        loy = rox * r(13) + roy * r(16) + roz * r(19) + r(22)
+        loz = rox * r(14) + roy * r(17) + roz * r(20) + r(23)
+        ldx = rdx * r(12) + rdy * r(15) + rdz * r(18)
+        ldy = rdx * r(13) + rdy * r(16) + rdz * r(19)
+        ldz = rdx * r(14) + rdy * r(17) + rdz * r(20)
+
+        p0x, p0y, p0z = r(0), r(1), r(2)
+        p1x, p1y, p1z = r(3), r(4), r(5)
+        p2x, p2y, p2z = r(6), r(7), r(8)
+        p3x, p3y, p3z = r(9), r(10), r(11)
+
+        hit = u = v = t = None
+        if has_surface:
+            # quad = two triangles, second with uv remap
+            # (yocto_geometry.h:828-836)
+            h1, u1, v1, t1 = _tri_isect(lox, loy, loz, ldx, ldy, ldz,
+                                        tmin, tmax,
+                                        p0x, p0y, p0z, p1x, p1y, p1z,
+                                        p3x, p3y, p3z)
+            h2, u2, v2, t2 = _tri_isect(lox, loy, loz, ldx, ldy, ldz,
+                                        tmin, tmax,
+                                        p2x, p2y, p2z, p3x, p3y, p3z,
+                                        p1x, p1y, p1z)
+            t1m = jnp.where(h1, t1, M.flt_max)
+            t2m = jnp.where(h2, t2, M.flt_max)
+            take1 = t1m < t2m
+            # boolean select via logical ops (Mosaic lacks i1 select)
+            hit = (take1 & h1) | (~take1 & h2)
+            u = jnp.where(take1, jnp.where(h1, u1, 0.0),
+                          jnp.where(h2, 1.0 - u2, 0.0))
+            v = jnp.where(take1, jnp.where(h1, v1, 0.0),
+                          jnp.where(h2, 1.0 - v2, 0.0))
+            t = jnp.minimum(t1m, t2m)
+        if has_line:
+            # capsule-ish line test (yocto_geometry.h:716-763)
+            r0 = r(24)
+            r1 = r(25)
+            vx, vy, vz = p1x - p0x, p1y - p0y, p1z - p0z
+            wx, wy, wz = lox - p0x, loy - p0y, loz - p0z
+            a = ldx * ldx + ldy * ldy + ldz * ldz
+            b = ldx * vx + ldy * vy + ldz * vz
+            cc = vx * vx + vy * vy + vz * vz
+            d = ldx * wx + ldy * wy + ldz * wz
+            e = vx * wx + vy * wy + vz * wz
+            det = a * cc - b * b
+            sdet = jnp.where(det == 0.0, 1.0, det)
+            tl = (b * e - cc * d) / sdet
+            sl = (a * e - b * d) / sdet
+            ok = (det != 0.0) & (tl >= tmin) & (tl <= tmax)
+            sl = jnp.clip(sl, 0.0, 1.0)
+            dpx = (lox + ldx * tl) - (p0x + vx * sl)
+            dpy = (loy + ldy * tl) - (p0y + vy * sl)
+            dpz = (loz + ldz * tl) - (p0z + vz * sl)
+            d2 = dpx * dpx + dpy * dpy + dpz * dpz
+            rr = r0 * (1.0 - sl) + r1 * sl
+            lhit = ok & (d2 <= rr * rr)
+            lu = jnp.where(lhit, sl, 0.0)
+            lv = jnp.where(
+                lhit, jnp.sqrt(d2) / jnp.where(rr == 0.0, 1.0, rr), 0.0)
+            is_line = _i32(r(28)) == KIND_LINES
+            if hit is None:
+                hit, u, v, t = lhit, lu, lv, jnp.where(lhit, tl, M.flt_max)
+            else:
+                hit = (is_line & lhit) | (~is_line & hit)
+                u = jnp.where(is_line, lu, u)
+                v = jnp.where(is_line, lv, v)
+                t = jnp.where(is_line, jnp.where(lhit, tl, M.flt_max), t)
+        if has_pt:
+            # approximate point test (yocto_geometry.h:697-714)
+            r0 = r(24)
+            wx, wy, wz = p0x - lox, p0y - loy, p0z - loz
+            dd = ldx * ldx + ldy * ldy + ldz * ldz
+            tp = (wx * ldx + wy * ldy + wz * ldz) / dd
+            in_range = (tp >= tmin) & (tp <= tmax)
+            prx = p0x - (lox + ldx * tp)
+            pry = p0y - (loy + ldy * tp)
+            prz = p0z - (loz + ldz * tp)
+            phit = in_range & (prx * prx + pry * pry + prz * prz
+                               <= r0 * r0)
+            is_pt = _i32(r(28)) == KIND_POINTS
+            if hit is None:
+                hit, u, v, t = (phit, jnp.zeros_like(tp),
+                                jnp.zeros_like(tp),
+                                jnp.where(phit, tp, M.flt_max))
+            else:
+                hit = (is_pt & phit) | (~is_pt & hit)
+                u = jnp.where(is_pt, 0.0, u)
+                v = jnp.where(is_pt, 0.0, v)
+                t = jnp.where(is_pt, jnp.where(phit, tp, M.flt_max), t)
+
+        dist = jnp.where(hit, t, M.flt_max)
+        # within-chunk closest with first-index tie-break (argmin parity)
+        dmin = jnp.min(dist, axis=1, keepdims=True)       # [TR,1]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        pick_lane = jnp.min(
+            jnp.where(dist == dmin, lanes, LANE), axis=1, keepdims=True)
+        pick = lanes == pick_lane
+        sel = lambda x: jnp.sum(jnp.where(pick, x, 0.0), axis=1,
+                                keepdims=True)
+        seli = lambda x: jnp.max(jnp.where(pick, x, jnp.int32(-(2**31))),
+                                 axis=1, keepdims=True)
+        # strict < keeps the earlier chunk on ties (first-argmin semantics)
+        better = dmin < best_t
+        best_u = jnp.where(better, sel(u), best_u)
+        best_v = jnp.where(better, sel(v), best_v)
+        best_hit = jnp.where(better, sel(jnp.where(hit, 1.0, 0.0)),
+                             best_hit)
+        best_inst = jnp.where(better, seli(_i32(r(26))), best_inst)
+        best_elem = jnp.where(better, seli(_i32(r(27))), best_elem)
+        best_t = jnp.where(better, dmin, best_t)
+
+    outf_ref[s0:s0 + SUB, 0:1] = best_hit
+    outf_ref[s0:s0 + SUB, 1:2] = best_t
+    outf_ref[s0:s0 + SUB, 2:3] = best_u
+    outf_ref[s0:s0 + SUB, 3:4] = best_v
+    outf_ref[s0:s0 + SUB, 4:8] = jnp.zeros((tr, 4), jnp.float32)
+    outi_ref[s0:s0 + SUB, 0:1] = best_inst
+    outi_ref[s0:s0 + SUB, 1:2] = best_elem
+    outi_ref[s0:s0 + SUB, 2:8] = jnp.zeros((tr, 6), jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cpad", "kinds", "interpret"))
+def _run(rays, prims, cpad, kinds, interpret):
+    rpad = rays.shape[0]
+    grid = rpad // RAY_TILE
+    outf, outi = pl.pallas_call(
+        functools.partial(_kernel, cpad=cpad, kinds=kinds),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, cpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rpad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((rpad, 8), jnp.int32),
+        ),
+        interpret=interpret,
+    )(rays, prims)
+    return outf, outi
+
+
+# ----------------------------------------------------------------------------
+# Small-scene variant: one ray per vector LANE, candidates unrolled as
+# compile-time constants. For C <= SMALL_MAX_CANDS the chunked-lane kernel
+# above wastes (128-C)/128 of every vector op on padding and pays 6
+# cross-lane reductions per chunk; here every op uses all 128 lanes, the
+# closest-hit update is a pure elementwise strict-< (first-candidate tie
+# semantics, matching jnp argmin), and candidate coordinates are immediate
+# operands (the scene is static per render, so baking is free).
+# ----------------------------------------------------------------------------
+
+SMALL_MAX_CANDS = 512
+SMALL_ROWS = 64  # ray rows (of 128 lanes) per grid program
+
+
+def _small_kernel_body(cands, refs):
+    (rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r, tmin_r, tmax_r,
+     hit_r, t_r, u_r, v_r, inst_r, elem_r) = refs
+    rox, roy, roz = rox_r[:], roy_r[:], roz_r[:]
+    rdx, rdy, rdz = rdx_r[:], rdy_r[:], rdz_r[:]
+    tmin, tmax = tmin_r[:], tmax_r[:]
+
+    best_t = jnp.full(rox.shape, M.flt_max, jnp.float32)
+    best_hit = jnp.zeros(rox.shape, jnp.bool_)
+    best_u = jnp.zeros(rox.shape, jnp.float32)
+    best_v = jnp.zeros(rox.shape, jnp.float32)
+    best_inst = jnp.full(rox.shape, -1, jnp.int32)
+    best_elem = jnp.full(rox.shape, -1, jnp.int32)
+
+    for cand in cands:
+        kind = cand["kind"]
+        inv = cand["inv"]  # None = identity frame
+        p = cand["p"]      # 4x3 floats
+        if inv is None:
+            lox, loy, loz = rox, roy, roz
+            ldx, ldy, ldz = rdx, rdy, rdz
+        else:
+            (i00, i01, i02, i10, i11, i12, i20, i21, i22,
+             o0, o1, o2) = inv
+            lox = rox * i00 + roy * i10 + roz * i20 + o0
+            loy = rox * i01 + roy * i11 + roz * i21 + o1
+            loz = rox * i02 + roy * i12 + roz * i22 + o2
+            ldx = rdx * i00 + rdy * i10 + rdz * i20
+            ldy = rdx * i01 + rdy * i11 + rdz * i21
+            ldz = rdx * i02 + rdy * i12 + rdz * i22
+
+        if kind in (2, 3):  # triangles / quads
+            h1, u1, v1, t1 = _tri_isect(
+                lox, loy, loz, ldx, ldy, ldz, tmin, tmax,
+                p[0][0], p[0][1], p[0][2], p[1][0], p[1][1], p[1][2],
+                p[3][0], p[3][1], p[3][2])
+            if kind == 3 and not cand["degenerate"]:
+                h2, u2, v2, t2 = _tri_isect(
+                    lox, loy, loz, ldx, ldy, ldz, tmin, tmax,
+                    p[2][0], p[2][1], p[2][2], p[3][0], p[3][1], p[3][2],
+                    p[1][0], p[1][1], p[1][2])
+                t1m = jnp.where(h1, t1, M.flt_max)
+                t2m = jnp.where(h2, t2, M.flt_max)
+                take1 = t1m < t2m
+                hit = (take1 & h1) | (~take1 & h2)
+                u = jnp.where(take1, u1, 1.0 - u2)
+                v = jnp.where(take1, v1, 1.0 - v2)
+                t = jnp.minimum(t1m, t2m)
+            else:
+                hit, u, v = h1, u1, v1
+                t = jnp.where(h1, t1, M.flt_max)
+        elif kind == KIND_LINES:
+            r0, r1 = cand["r0"], cand["r1"]
+            vx, vy, vz = (p[1][0] - p[0][0], p[1][1] - p[0][1],
+                          p[1][2] - p[0][2])
+            wx, wy, wz = lox - p[0][0], loy - p[0][1], loz - p[0][2]
+            a = ldx * ldx + ldy * ldy + ldz * ldz
+            b = ldx * vx + ldy * vy + ldz * vz
+            cc = vx * vx + vy * vy + vz * vz
+            d = ldx * wx + ldy * wy + ldz * wz
+            e = vx * wx + vy * wy + vz * wz
+            det = a * cc - b * b
+            sdet = jnp.where(det == 0.0, 1.0, det)
+            tl = (b * e - cc * d) / sdet
+            sl = jnp.clip((a * e - b * d) / sdet, 0.0, 1.0)
+            ok = (det != 0.0) & (tl >= tmin) & (tl <= tmax)
+            dpx = (lox + ldx * tl) - (p[0][0] + vx * sl)
+            dpy = (loy + ldy * tl) - (p[0][1] + vy * sl)
+            dpz = (loz + ldz * tl) - (p[0][2] + vz * sl)
+            d2 = dpx * dpx + dpy * dpy + dpz * dpz
+            rr = r0 * (1.0 - sl) + r1 * sl
+            hit = ok & (d2 <= rr * rr)
+            u = sl
+            v = jnp.sqrt(d2) / jnp.where(rr == 0.0, 1.0, rr)
+            t = jnp.where(hit, tl, M.flt_max)
+        else:  # points
+            r0 = cand["r0"]
+            wx, wy, wz = p[0][0] - lox, p[0][1] - loy, p[0][2] - loz
+            dd = ldx * ldx + ldy * ldy + ldz * ldz
+            tp = (wx * ldx + wy * ldy + wz * ldz) / dd
+            in_range = (tp >= tmin) & (tp <= tmax)
+            prx = p[0][0] - (lox + ldx * tp)
+            pry = p[0][1] - (loy + ldy * tp)
+            prz = p[0][2] - (loz + ldz * tp)
+            hit = in_range & (prx * prx + pry * pry + prz * prz
+                              <= r0 * r0)
+            u = jnp.zeros_like(tp)
+            v = jnp.zeros_like(tp)
+            t = jnp.where(hit, tp, M.flt_max)
+
+        # strict < keeps the first candidate on ties (argmin parity)
+        better = t < best_t
+        best_hit = (better & hit) | (~better & best_hit)
+        best_u = jnp.where(better, jnp.where(hit, u, 0.0), best_u)
+        best_v = jnp.where(better, jnp.where(hit, v, 0.0), best_v)
+        best_inst = jnp.where(better, cand["inst"], best_inst)
+        best_elem = jnp.where(better, cand["elem"], best_elem)
+        best_t = jnp.where(better, t, best_t)
+
+    hit_r[:] = best_hit.astype(jnp.int32)
+    t_r[:] = best_t
+    u_r[:] = best_u
+    v_r[:] = best_v
+    inst_r[:] = best_inst
+    elem_r[:] = best_elem
+
+
+def _host_candidates(scene: SceneData):
+    """Candidate list as python dicts (baked into the small kernel)."""
+    cands = []
+    for iidx, inst in enumerate(scene.instances):
+        shape = scene.shapes[inst.shape]
+        nv = len(shape.positions)
+        pos = np.asarray(shape.positions, np.float32).reshape(-1, 3)
+        rad = (np.asarray(shape.radius, np.float32).reshape(-1)
+               if len(shape.radius) == nv else np.zeros(nv, np.float32))
+        if len(shape.triangles):
+            tris = np.asarray(shape.triangles, np.int64)
+            verts = np.concatenate([tris, tris[:, 2:3]], 1)
+            kind = 2
+        elif len(shape.quads):
+            verts = np.asarray(shape.quads, np.int64)
+            kind = 3
+        elif len(shape.lines):
+            lines = np.asarray(shape.lines, np.int64)
+            verts = np.concatenate([lines, lines[:, 1:2], lines[:, 1:2]], 1)
+            kind = KIND_LINES
+        elif len(shape.points):
+            pts = np.asarray(shape.points, np.int64).reshape(-1, 1)
+            verts = np.repeat(pts, 4, 1)
+            kind = KIND_POINTS
+        else:
+            continue
+        frame = np.asarray(inst.frame, np.float32)
+        identity = (np.array_equal(frame[:3], np.eye(3, dtype=np.float32))
+                    and not frame[3].any())
+        if identity:
+            inv = None
+        else:
+            inv_rot = np.linalg.inv(frame[:3].astype(np.float64)).astype(
+                np.float32)
+            inv_o = -(frame[3] @ inv_rot)
+            inv = tuple(float(x) for x in inv_rot.reshape(-1)) \
+                + tuple(float(x) for x in inv_o)
+        for eidx in range(len(verts)):
+            p = [[float(pos[verts[eidx, k], a]) for a in range(3)]
+                 for k in range(4)]
+            cands.append({
+                "kind": kind, "inv": inv, "p": p,
+                "degenerate": p[2] == p[3],
+                "r0": float(rad[verts[eidx, 0]]),
+                "r1": float(rad[verts[eidx, 1]]),
+                "inst": iidx, "elem": eidx,
+            })
+    return cands
+
+
+def make_pallas_small_intersector(scene_host: SceneData, interpret=None):
+    """Baked-candidate intersector for scenes with <= SMALL_MAX_CANDS
+    elements. Returns None if the scene is too large."""
+    cands = _host_candidates(scene_host)
+    if not cands or len(cands) > SMALL_MAX_CANDS:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def kernel(*refs):
+        _small_kernel_body(cands, refs)
+
+    @jax.jit
+    def run(rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
+        srows = rox.shape[0]
+        grid = srows // SMALL_ROWS
+        bspec = pl.BlockSpec((SMALL_ROWS, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[bspec] * 8,
+            out_specs=(bspec,) * 6,
+            out_shape=(
+                jax.ShapeDtypeStruct((srows, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((srows, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((srows, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((srows, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((srows, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((srows, LANE), jnp.int32),
+            ),
+            interpret=interpret,
+        )(rox, roy, roz, rdx, rdy, rdz, tmin, tmax)
+        return outs
+
+    block = SMALL_ROWS * LANE
+
+    def intersect(scene, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
+        n = ro.shape[0]
+        npad = max(block, ((n + block - 1) // block) * block)
+        def prep(x):
+            x = jnp.pad(x, (0, npad - n)) if npad != n else x
+            return x.reshape(npad // LANE, LANE)
+        rox, roy, roz = prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2])
+        rdx, rdy, rdz = prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2])
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
+                                  (n,))
+        tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+        hit_i, t, u, v, inst, elem = run(
+            rox, roy, roz, rdx, rdy, rdz, prep(tmin_b), prep(tmax_b))
+        flat = lambda x: x.reshape(-1)[:n]
+        hit = flat(hit_i) != 0
+        return SceneIntersection(
+            hit=hit,
+            instance=jnp.where(hit, flat(inst), -1),
+            element=jnp.where(hit, flat(elem), -1),
+            uv=jnp.where(hit[:, None],
+                         jnp.stack([flat(u), flat(v)], axis=-1), 0.0),
+            distance=jnp.where(hit, flat(t), M.flt_max))
+
+    return intersect
+
+
+def make_pallas_bruteforce_intersector(scene_host: SceneData, kinds=None,
+                                       interpret=None):
+    """Build intersect(flat_scene, ro, rd, tmin, tmax) -> SceneIntersection
+    backed by the fused Pallas sweep. `kinds` as in SceneFeatures.kinds."""
+    packed = pack_candidates(scene_host)
+    prims = jnp.asarray(packed)
+    cpad = packed.shape[1]
+    if kinds is None:
+        kinds = (KIND_POINTS, KIND_LINES, 2, 3)
+    kinds = tuple(kinds)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def intersect(scene, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
+        n = ro.shape[0]
+        rpad = max(RAY_TILE, ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE)
+        tmin_c = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n, 1))
+        tmax_c = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n, 1))
+        rays = jnp.concatenate([ro, rd, tmin_c, tmax_c], axis=1)
+        if rpad != n:
+            rays = jnp.pad(rays, ((0, rpad - n), (0, 0)))
+        outf, outi = _run(rays, prims, cpad, kinds, interpret)
+        outf = outf[:n]
+        outi = outi[:n]
+        hit = outf[:, 0] > 0.0
+        return SceneIntersection(
+            hit=hit,
+            instance=jnp.where(hit, outi[:, 0], -1),
+            element=jnp.where(hit, outi[:, 1], -1),
+            uv=jnp.where(hit[:, None], outf[:, 2:4], 0.0),
+            distance=jnp.where(hit, outf[:, 1], M.flt_max))
+
+    return intersect

@@ -111,14 +111,17 @@ def sample_camera_rays(scene: FlatScene, camera: int, width: int,
 def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                 meta: LightsMeta, params: TraceParams, width: int,
                 height: int, row_offset=0, full_height: int = None,
-                bvh=None, features=None):
+                bvh=None, features=None, intersect_fn=None):
     """One sample for every pixel (or row block) + accumulation.
     Traced under jit; `row_offset`/`full_height` support tile sharding.
     `bvh` (FlatBvh) selects the accelerated intersector; None = brute
     force. `features` (SceneFeatures) specializes the traced code to the
-    scene's static capabilities."""
+    scene's static capabilities; `intersect_fn` overrides the intersector
+    (e.g. the fused Pallas sweep)."""
     kinds = features.kinds if features is not None else None
-    if bvh is None:
+    if intersect_fn is not None:
+        pass
+    elif bvh is None:
         intersect_fn = partial(intersect_scene_bruteforce, kinds=kinds)
     else:
         from .bvh import make_bvh_intersector
@@ -176,7 +179,8 @@ def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
 def _multi_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                   meta: LightsMeta, params: TraceParams, width: int,
                   height: int, spp: int, seq_hi, seq_lo, bvh=None,
-                  row_offset=0, full_height: int = None, features=None):
+                  row_offset=0, full_height: int = None, features=None,
+                  intersect_fn=None):
     """`spp` samples for every pixel in ONE device step (fast mode).
 
     Lanes are (sample, pixel) pairs with per-lane PCG32 streams seeded from
@@ -185,7 +189,9 @@ def _multi_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
     converging to the same expectation. Accumulation applies the
     reference's per-sample clamp before averaging."""
     kinds = features.kinds if features is not None else None
-    if bvh is None:
+    if intersect_fn is not None:
+        pass
+    elif bvh is None:
         intersect_fn = partial(intersect_scene_bruteforce, kinds=kinds)
     else:
         from .bvh import make_bvh_intersector
@@ -267,11 +273,22 @@ class Renderer:
                 len(scene.shapes[i.shape].quads))
             for i in scene.instances)
         # tiny scenes: the dense sweep beats per-ray traversal on TPU
-        if params.bruteforce or n_candidates <= 256:
+        if params.bruteforce or n_candidates <= 4096:
             self.bvh = None
         else:
             from .bvh import build_scene_bvh
             self.bvh = build_scene_bvh(scene, params.highqualitybvh)
+        # fused Pallas sweep for the dense path (TPU only; the CPU/test
+        # path keeps the pure-jnp reference intersector)
+        self._isect = None
+        if self.bvh is None and jax.default_backend() != "cpu":
+            from .pallas_intersect import (
+                make_pallas_bruteforce_intersector,
+                make_pallas_small_intersector)
+            self._isect = make_pallas_small_intersector(scene)
+            if self._isect is None:
+                self._isect = make_pallas_bruteforce_intersector(
+                    scene, kinds=self.features.kinds)
 
         meta, width, height = self.lights_meta, self.width, self.height
         features = self.features
@@ -279,17 +296,22 @@ class Renderer:
         if spp > 1 or not params.exact_rng:
             seq_hi, seq_lo = R.make_pixel_seqs(width * height)
 
+            isect = self._isect
+
             @jax.jit
             def step(flat, lights, bvh, state):
                 return _multi_sample(flat, lights, state, meta, params,
                                      width, height, spp, seq_hi, seq_lo,
-                                     bvh=bvh, features=features)
+                                     bvh=bvh, features=features,
+                                     intersect_fn=isect)
         else:
+            isect = self._isect
+
             @jax.jit
             def step(flat, lights, bvh, state):
                 return _one_sample(flat, lights, state, meta, params,
                                    width, height, bvh=bvh,
-                                   features=features)
+                                   features=features, intersect_fn=isect)
 
         self._step = step
         self.spp_batch = spp
