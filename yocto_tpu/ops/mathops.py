@@ -45,9 +45,16 @@ def length_squared(a):
 
 
 def normalize(a):
-    """v / |v|, passing v through unchanged when |v| == 0 (yocto semantics)."""
-    l = length(a)[..., None]
-    return jnp.where(l != 0, a / jnp.where(l == 0, 1.0, l), a)
+    """v / |v|, passing v through unchanged when |v| == 0 (yocto semantics).
+
+    The guard sits INSIDE the sqrt: sqrt'(0) is inf, and jnp.where does
+    not stop gradients from the unselected branch, so the naive
+    where(l != 0, a/l, a) is forward-correct but back-propagates NaN for
+    zero vectors (degenerate quad triangles, absent normals). This form
+    is bit-identical forward and NaN-free backward."""
+    d = dot(a, a)
+    l = jnp.sqrt(jnp.where(d == 0.0, 1.0, d))[..., None]
+    return jnp.where(d[..., None] != 0.0, a / l, a)
 
 
 def distance(a, b):

@@ -1,0 +1,498 @@
+"""Differentiable rendering: gradients of the path-traced image w.r.t.
+scene parameters (BASELINE.json config 4; the reference renderer is not
+differentiable, so this subsystem has no yocto counterpart — it follows
+the standard detached-sampling estimator of differentiable-rendering
+practice).
+
+Design (TPU-first):
+- The bounce loop is a fixed-length `lax.scan` (reverse-mode AD cannot
+  differentiate `lax.while_loop`); dead lanes are masked, exactly like the
+  forward wavefront.
+- **Detached sampling**: sample directions, pdfs, Russian-roulette and
+  MIS weights are computed from a *sampling* parameter set and wrapped in
+  stop_gradient; BSDF values, emission, textures, and geometry terms are
+  evaluated *attached*. The estimator E[f(theta)/p(theta_bar)] is unbiased
+  for any fixed sampling density p, so gradients flow through f alone.
+  Passing an explicit pinned `theta_sampling` makes the realized estimate
+  a deterministic differentiable function of theta — finite differences
+  then match `jax.grad` to float precision, which is what the gradient
+  tests exercise.
+- The radiance clamp is straight-through (clamped forward, identity
+  backward) so bright-light gradients are not silently zeroed.
+- Interior derivatives of vertex positions/instance frames flow through
+  the (pure-jnp, differentiable) intersector and shading evals. Silhouette
+  (visibility-discontinuity) terms are NOT estimated in v1 — vertex
+  gradients are the interior/reparameterization-free part only.
+- Opacity rejection and volume distance sampling are discrete decisions;
+  their parameters receive no gradient in v1 (documented limitation).
+
+Typical use:
+    dr = DiffRenderer(scene, params)
+    theta = dr.theta()
+    loss = lambda th: ((dr.render(th) - target) ** 2).mean()
+    grads = jax.grad(loss)(theta)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import SceneData
+from ..ops import mathops as M
+from ..ops import rng as R
+from ..ops import sampling as SMP
+from . import bsdf as B
+from .compile import FlatScene, compile_scene, scene_features
+from .intersect import intersect_scene_bruteforce
+from .lights import make_trace_lights, sample_lights, sample_lights_pdf
+from .params import TraceParams
+from .pathtrace import _nee_emission
+from .renderer import render_size, sample_camera_rays
+from .sceneval import (eval_environment, eval_material, eval_shading_normal,
+                       eval_shading_position, is_delta_point)
+
+# FlatScene fields exposed as differentiable parameters
+THETA_FIELDS = (
+    "positions", "inst_frame",
+    "mat_emission", "mat_color", "mat_roughness", "mat_metallic",
+    "mat_ior", "mat_scattering", "mat_scanisotropy", "mat_trdepth",
+    "tex_data", "env_emission", "cam_frame",
+)
+
+
+def extract_theta(flat: FlatScene) -> dict:
+    return {k: getattr(flat, k) for k in THETA_FIELDS}
+
+
+def inject_theta(flat: FlatScene, theta: dict) -> FlatScene:
+    """Replace differentiable fields; derived fields (instance inverses)
+    are recomputed differentiably so frame gradients stay consistent."""
+    flat = flat._replace(**{k: theta[k] for k in THETA_FIELDS})
+    rot = flat.inst_frame[:, :3, :]                     # [I,3,3]
+    inv_rot = jnp.linalg.inv(rot)
+    inv_o = -jnp.einsum("ij,ijk->ik", flat.inst_frame[:, 3, :], inv_rot)
+    return flat._replace(
+        inst_inv_frame=jnp.concatenate([inv_rot, inv_o[:, None, :]], 1))
+
+
+def _sg(x):
+    return jax.lax.stop_gradient(x)
+
+
+def _clamp_st(radiance, clamp):
+    """Straight-through radiance clamp (forward = reference clamp
+    yocto_trace.cpp:1471-1475, backward = identity)."""
+    finite = M.isfinite3(radiance)[..., None]
+    r = jnp.where(finite, radiance, _sg(radiance) * 0.0)
+    mx = M.maxc(_sg(r))
+    scale = jnp.where(mx > clamp, clamp / jnp.maximum(mx, 1e-20), 1.0)
+    return r * _sg(scale)[..., None]
+
+
+def _where3(c, a, b):
+    return jnp.where(c[..., None], a, b)
+
+
+def make_diff_path_sampler(lights, meta, params: TraceParams, features,
+                           intersect_fn=None):
+    """Differentiable `trace_path` analogue (yocto_trace.cpp:453-596
+    estimator; fixed-length scan, detached sampling, no opacity loop).
+
+    Returns run(scene_attached, scene_sampling, ro, rd, rngs) -> radiance.
+    """
+    has_lights = meta.n_lights > 0
+    has_delta = features.has_delta
+    types = features.mat_types
+    if intersect_fn is None:
+        intersect_fn = partial(intersect_scene_bruteforce,
+                               kinds=features.kinds)
+
+    def run(scene_a: FlatScene, scene_s: FlatScene, ro, rd, rngs):
+        has_env = scene_a.env_frame.shape[0] > 0
+        Rn = ro.shape[0]
+
+        def body(carry, _):
+            ro, rd, radiance, weight, alive, bounce, rng = carry
+            isec = intersect_fn(scene_a, ro, rd)
+            hit_l = alive & isec.hit
+
+            if has_env:
+                miss = alive & ~isec.hit
+                env_ok = miss & ((bounce > 0) | (not params.envhidden))
+                env = eval_environment(scene_a, rd)
+                radiance = _where3(env_ok, radiance + weight * env,
+                                   radiance)
+            alive = hit_l
+
+            inst = jnp.maximum(isec.instance, 0)
+            shape = scene_a.inst_shape[inst]
+            gelem = scene_a.shape_elem_start[shape] \
+                + jnp.maximum(isec.element, 0)
+            outgoing = -rd
+            # attached evals (theta gradients flow here)
+            position = eval_shading_position(scene_a, inst, gelem, isec.uv,
+                                             outgoing)
+            normal = eval_shading_normal(scene_a, inst, gelem, isec.uv,
+                                         outgoing, features=features)
+            material = eval_material(scene_a, inst, gelem, isec.uv,
+                                     features=features)
+            # sampling evals (detached: decide WHERE to sample from theta_s)
+            material_s = jax.tree.map(_sg, eval_material(
+                scene_s, inst, gelem, isec.uv, features=features))
+            normal_s = _sg(eval_shading_normal(scene_s, inst, gelem,
+                                               isec.uv, outgoing,
+                                               features=features))
+
+            # emission (attached)
+            emis = B.eval_emission(material, normal, outgoing)
+            radiance = _where3(alive, radiance + weight * emis, radiance)
+
+            # --- next direction: 50/50 BSDF/light one-sample MIS
+            delta = is_delta_point(material_s) if has_delta \
+                else jnp.zeros(Rn, bool)
+            nd = alive & ~delta if has_delta else alive
+            r_choice, rng = R.rand1f_if(rng, nd)
+            use_bsdf = r_choice < 0.5
+            rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
+            rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
+            inc_bsdf = _sg(B.sample_bsdfcos(material_s, normal_s, outgoing,
+                                            rnl, rn2, types=types))
+            if has_lights:
+                ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
+                rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+                rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+                inc_light = _sg(sample_lights(scene_s, lights, meta,
+                                              _sg(position), rl, rel, ruv))
+                incoming_nd = _where3(use_bsdf, inc_bsdf, inc_light)
+            else:
+                incoming_nd = inc_bsdf
+            nd_zero = nd & M.is_zero3(incoming_nd)
+            nd_ok = nd & ~nd_zero
+            f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd,
+                                  types=types)
+            pdf_b = _sg(B.sample_bsdfcos_pdf(material_s, normal_s, outgoing,
+                                             incoming_nd, types=types))
+            if has_lights:
+                pdf_l = _sg(sample_lights_pdf(scene_s, lights, meta,
+                                              _sg(position), incoming_nd))
+                pdf_nd = 0.5 * pdf_b + 0.5 * pdf_l
+            else:
+                pdf_nd = 0.5 * pdf_b
+            safe_pdf = jnp.where(pdf_nd == 0.0, 1.0, pdf_nd)[..., None]
+            weight = _where3(nd_ok, weight * f_nd / safe_pdf, weight)
+
+            if has_delta:
+                dl = alive & delta
+                r_delta, rng = R.rand1f_if(rng, dl)
+                inc_delta = _sg(B.sample_delta(material_s, normal_s,
+                                               outgoing, r_delta,
+                                               types=types))
+                dl_zero = dl & M.is_zero3(inc_delta)
+                dl_ok = dl & ~dl_zero
+                f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                    types=types)
+                pdf_dl = _sg(B.sample_delta_pdf(material_s, normal_s,
+                                                outgoing, inc_delta,
+                                                types=types))
+                safe_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+                weight = _where3(dl_ok, weight * f_dl / safe_dl, weight)
+                incoming = _where3(delta, inc_delta, incoming_nd)
+                alive = alive & ~(nd_zero | dl_zero)
+            else:
+                incoming = incoming_nd
+                alive = alive & ~nd_zero
+
+            # weight sanity + Russian roulette (detached decisions)
+            wzero = M.is_zero3(_sg(weight))
+            wbad = ~M.isfinite3(_sg(weight))
+            alive = alive & ~(wzero | wbad)
+            rr = alive & (bounce > 3)
+            rr_prob = _sg(jnp.minimum(jnp.float32(0.99), M.maxc(weight)))
+            r_rr, rng = R.rand1f_if(rng, rr)
+            rr_die = rr & (r_rr >= rr_prob)
+            safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+            weight = _where3(rr & ~rr_die, weight / safe_rr[..., None],
+                             weight)
+            alive = alive & ~rr_die
+
+            ro = _where3(alive, position, ro)
+            rd = _where3(alive, incoming, rd)
+            return (ro, rd, radiance, weight, alive, bounce + 1, rng), None
+
+        init = (ro, rd, jnp.zeros((Rn, 3), jnp.float32),
+                jnp.ones((Rn, 3), jnp.float32), jnp.ones(Rn, bool),
+                jnp.zeros(Rn, jnp.int32), rngs)
+        (ro_, rd_, radiance, w_, a_, b_, rng), _ = jax.lax.scan(
+            body, init, None, length=params.bounces)
+        # final environment hit for rays still alive after the last bounce
+        if has_env:
+            isec = intersect_fn(scene_a, ro_, rd_)
+            env_ok = a_ & ~isec.hit
+            radiance = _where3(env_ok,
+                               radiance + w_ * eval_environment(scene_a,
+                                                                rd_),
+                               radiance)
+        return radiance, rng
+
+    return run
+
+
+def make_diff_pathdirect_sampler(lights, meta, params: TraceParams,
+                                 features, intersect_fn=None):
+    """Differentiable `trace_pathdirect` analogue with **area-measure
+    NEE**: the next-event contribution is written
+        f(x->y) * Le(y) * |n_y . w| / d^2 / p_A(y)
+    with the geometry term attached and only the light-point sampling and
+    p_A detached. In the solid-angle form (the `mis` sampler), the
+    geometric coupling sits inside the detached pdf, so camera/vertex
+    "interior" gradients of diffuse transport vanish; the area form is the
+    standard differentiable-rendering estimator that recovers them.
+    Emission on continuation rays is gated exactly like the reference's
+    next_emission flag (yocto_trace.cpp:599-767), so nothing is counted
+    twice. Silhouette/visibility discontinuity terms remain unestimated.
+    """
+    has_lights = meta.n_lights > 0
+    has_delta = features.has_delta
+    types = features.mat_types
+    if intersect_fn is None:
+        intersect_fn = partial(intersect_scene_bruteforce,
+                               kinds=features.kinds)
+
+    def run(scene_a: FlatScene, scene_s: FlatScene, ro, rd, rngs):
+        has_env = scene_a.env_frame.shape[0] > 0
+        Rn = ro.shape[0]
+
+        def nee(position, material, normal, outgoing, mask, rng):
+            """Area-measure next-event estimation; returns (Lo, rng)."""
+            from .sceneval import eval_element_normal, eval_position
+            ruv, rng = R.rand2f_if(rng, mask)
+            rel, rng = R.rand1f_if(rng, mask)
+            rl, rng = R.rand1f_if(rng, mask)
+            light_id = _sg(SMP.sample_uniform(meta.n_lights, rl))
+            inst = lights.light_instance[light_id]
+            start = lights.cdf_start[light_id]
+            count = lights.cdf_count[light_id]
+            total = lights.cdf_total[light_id]
+            idx = _sg(SMP.sample_discrete(lights.cdf_flat, rel, start,
+                                          count, total))
+            is_inst = inst >= 0
+
+            # light point (attached through scene_a geometry)
+            inst_c = jnp.maximum(inst, 0)
+            shape = scene_a.inst_shape[inst_c]
+            start_e = scene_a.shape_elem_start[shape]
+            from .compile import KIND_TRIANGLES
+            kind = scene_a.shape_kind[shape]
+            elem = jnp.minimum(idx, scene_a.shape_elem_count[shape] - 1)
+            uv_tri = SMP.sample_triangle_uv(ruv)
+            uv = jnp.where((kind == KIND_TRIANGLES)[..., None], uv_tri, ruv)
+            lpos = eval_position(scene_a, inst_c, start_e + elem, uv)
+            wdir = M.normalize(lpos - position)
+
+            # environment lights: detached solid-angle fallback
+            if has_env and any(k == "env" for k in meta.kinds):
+                dir_env = _sg(SMP.sample_sphere(ruv))
+                wdir = _where3(is_inst, wdir, dir_env)
+
+            # visibility + actual emitter along the connection
+            em, isec = _nee_emission(scene_a, intersect_fn, position, wdir,
+                                     features=features)
+            hinst = jnp.maximum(isec.instance, 0)
+            hshape = scene_a.inst_shape[hinst]
+            hgelem = scene_a.shape_elem_start[hshape] \
+                + jnp.maximum(isec.element, 0)
+            lnormal = eval_element_normal(scene_a, hinst, hgelem)
+            d2 = jnp.maximum(isec.distance * isec.distance, 1e-12)
+            cos_y = jnp.abs(M.dot(lnormal, wdir))
+            # p_A: uniform light x area-CDF element x uniform point
+            p_area = _sg(1.0 / jnp.maximum(meta.n_lights * total, 1e-20))
+            geom_inst = jnp.where(isec.hit, cos_y / d2, 0.0)
+            w_inst = geom_inst / jnp.maximum(p_area, 1e-30)
+            # env branch: detached uniform-sphere pdf (x uniform light
+            # selection), radiance at infinity
+            w_env = jnp.float32(4.0 * M.pif * meta.n_lights)
+            w_conn = jnp.where(is_inst, w_inst,
+                               jnp.where(isec.hit, 0.0, w_env))
+            f = B.eval_bsdfcos(material, normal, outgoing, wdir,
+                               types=types)
+            ok = mask & ~M.is_zero3(_sg(f))
+            return _where3(ok, f * em * w_conn[..., None], 0.0), rng
+
+        def body(carry, _):
+            (ro, rd, radiance, weight, alive, bounce, next_em,
+             rng) = carry
+            isec = intersect_fn(scene_a, ro, rd)
+            hit_l = alive & isec.hit
+
+            if has_env:
+                miss = alive & ~isec.hit
+                env_ok = miss & ((bounce > 0) | (not params.envhidden)) \
+                    & next_em
+                env = eval_environment(scene_a, rd)
+                radiance = _where3(env_ok, radiance + weight * env,
+                                   radiance)
+            alive = hit_l
+
+            inst = jnp.maximum(isec.instance, 0)
+            shape = scene_a.inst_shape[inst]
+            gelem = scene_a.shape_elem_start[shape] \
+                + jnp.maximum(isec.element, 0)
+            outgoing = -rd
+            position = eval_shading_position(scene_a, inst, gelem, isec.uv,
+                                             outgoing)
+            normal = eval_shading_normal(scene_a, inst, gelem, isec.uv,
+                                         outgoing, features=features)
+            material = eval_material(scene_a, inst, gelem, isec.uv,
+                                     features=features)
+            material_s = jax.tree.map(_sg, eval_material(
+                scene_s, inst, gelem, isec.uv, features=features))
+            normal_s = _sg(eval_shading_normal(scene_s, inst, gelem,
+                                               isec.uv, outgoing,
+                                               features=features))
+
+            emis = B.eval_emission(material, normal, outgoing)
+            radiance = _where3(alive & next_em,
+                               radiance + weight * emis, radiance)
+
+            delta = is_delta_point(material_s) if has_delta \
+                else jnp.zeros(Rn, bool)
+            nd = alive & ~delta if has_delta else alive
+
+            if has_lights:
+                lo_nee, rng = nee(position, material, normal, outgoing,
+                                  nd, rng)
+                radiance = _where3(nd, radiance + weight * lo_nee,
+                                   radiance)
+            next_em = jnp.where(alive, delta, next_em)
+
+            # continuation: BSDF sampling, pdf detached
+            rn2, rng = R.rand2f_if(rng, nd)
+            rnl, rng = R.rand1f_if(rng, nd)
+            inc_bsdf = _sg(B.sample_bsdfcos(material_s, normal_s, outgoing,
+                                            rnl, rn2, types=types))
+            nd_zero = nd & M.is_zero3(inc_bsdf)
+            nd_ok = nd & ~nd_zero
+            f_nd = B.eval_bsdfcos(material, normal, outgoing, inc_bsdf,
+                                  types=types)
+            pdf_b = _sg(B.sample_bsdfcos_pdf(material_s, normal_s, outgoing,
+                                             inc_bsdf, types=types))
+            safe_pdf = jnp.where(pdf_b == 0.0, 1.0, pdf_b)[..., None]
+            weight = _where3(nd_ok, weight * f_nd / safe_pdf, weight)
+
+            if has_delta:
+                dl = alive & delta
+                r_delta, rng = R.rand1f_if(rng, dl)
+                inc_delta = _sg(B.sample_delta(material_s, normal_s,
+                                               outgoing, r_delta,
+                                               types=types))
+                dl_zero = dl & M.is_zero3(inc_delta)
+                dl_ok = dl & ~dl_zero
+                f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                    types=types)
+                pdf_dl = _sg(B.sample_delta_pdf(material_s, normal_s,
+                                                outgoing, inc_delta,
+                                                types=types))
+                safe_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[..., None]
+                weight = _where3(dl_ok, weight * f_dl / safe_dl, weight)
+                incoming = _where3(delta, inc_delta, inc_bsdf)
+                alive = alive & ~(nd_zero | dl_zero)
+            else:
+                incoming = inc_bsdf
+                alive = alive & ~nd_zero
+
+            wzero = M.is_zero3(_sg(weight))
+            wbad = ~M.isfinite3(_sg(weight))
+            alive = alive & ~(wzero | wbad)
+            rr = alive & (bounce > 3)
+            rr_prob = _sg(jnp.minimum(jnp.float32(0.99), M.maxc(weight)))
+            r_rr, rng = R.rand1f_if(rng, rr)
+            rr_die = rr & (r_rr >= rr_prob)
+            safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+            weight = _where3(rr & ~rr_die, weight / safe_rr[..., None],
+                             weight)
+            alive = alive & ~rr_die
+
+            ro = _where3(alive, position, ro)
+            rd = _where3(alive, incoming, rd)
+            return (ro, rd, radiance, weight, alive, bounce + 1, next_em,
+                    rng), None
+
+        init = (ro, rd, jnp.zeros((Rn, 3), jnp.float32),
+                jnp.ones((Rn, 3), jnp.float32), jnp.ones(Rn, bool),
+                jnp.zeros(Rn, jnp.int32), jnp.ones(Rn, bool), rngs)
+        (ro_, rd_, radiance, w_, a_, b_, ne_, rng), _ = jax.lax.scan(
+            body, init, None, length=params.bounces)
+        if has_env:
+            isec = intersect_fn(scene_a, ro_, rd_)
+            env_ok = a_ & ~isec.hit & ne_
+            radiance = _where3(env_ok,
+                               radiance + w_ * eval_environment(scene_a,
+                                                                rd_),
+                               radiance)
+        return radiance, rng
+
+    return run
+
+
+class DiffRenderer:
+    """Differentiable renderer over a fixed scene topology.
+
+    `render(theta)` is a pure differentiable function of the parameter
+    pytree; `theta_sampling` pins the sampling distribution (defaults to
+    stop_gradient(theta), the standard detached estimator)."""
+
+    def __init__(self, scene: SceneData, params: TraceParams,
+                 spp: Optional[int] = None, estimator: str = "mis"):
+        """estimator: 'mis' (trace_path analogue; best variance for
+        material/emission/texture gradients) or 'nee' (area-measure
+        next-event estimation; additionally recovers interior geometry
+        gradients - camera, vertex positions, instance frames)."""
+        self.params = params
+        self.flat = compile_scene(scene)
+        self.features = scene_features(scene)
+        if self.features.has_volumes:
+            raise NotImplementedError(
+                "diff rendering v1 covers surface scenes (volume distance "
+                "sampling gradients are not implemented)")
+        self.lights, self.meta = make_trace_lights(scene)
+        self.width, self.height = render_size(scene, params)
+        self.spp = spp if spp is not None else params.samples
+        builder = (make_diff_pathdirect_sampler if estimator == "nee"
+                   else make_diff_path_sampler)
+        self._sampler = builder(self.lights, self.meta, params,
+                                self.features)
+
+        width, height = self.width, self.height
+        n = width * height
+        meta = self.meta
+
+        @jax.jit
+        def _render(theta, theta_s):
+            scene_a = inject_theta(self.flat, theta)
+            scene_s = inject_theta(self.flat, jax.tree.map(_sg, theta_s))
+            img = jnp.zeros((height, width, 3), jnp.float32)
+            for s in range(self.spp):
+                rngs = R.make_rng_offset(
+                    params.seed, jnp.full(n, s, jnp.int32),
+                    *R.make_pixel_seqs(n))
+                ro, rd, rngs = sample_camera_rays(
+                    scene_a, params.camera, width, height, rngs,
+                    params.tentfilter)
+                radiance, _ = self._sampler(scene_a, scene_s, ro, rd, rngs)
+                radiance = _clamp_st(radiance, params.clamp)
+                img = img + radiance.reshape(height, width, 3)
+            return img / self.spp
+
+        self._render = _render
+
+    def theta(self) -> dict:
+        return extract_theta(self.flat)
+
+    def render(self, theta, theta_sampling=None):
+        """Differentiable [H,W,3] linear radiance image."""
+        ts = theta if theta_sampling is None else theta_sampling
+        return self._render(theta, ts)
