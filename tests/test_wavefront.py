@@ -1,0 +1,70 @@
+"""Wavefront renderer vs lockstep renderer: statistical agreement.
+
+The wavefront pipeline uses per-(pixel,sample) PCG streams (independent of
+the lockstep renderer's sequential streams) so images agree in expectation,
+not bitwise; at equal spp the residual is Monte-Carlo noise.
+"""
+
+import numpy as np
+import pytest
+
+from yocto_tpu.models.examples import make_cornellbox
+from yocto_tpu.models.procedural import make_sphere
+from yocto_tpu.models.scene import InstanceData, MaterialData, MaterialType
+from yocto_tpu.trace.params import SamplerType, TraceParams
+from yocto_tpu.trace.renderer import Renderer, get_image
+from yocto_tpu.trace.wavefront import WavefrontRenderer
+
+
+def _glass_cornell():
+    scene = make_cornellbox()
+    sph = make_sphere(steps=8, scale=0.35)
+    scene.shapes.append(sph)
+    scene.materials.append(MaterialData(
+        type=MaterialType.refractive,
+        color=np.array([0.9, 0.9, 0.9], np.float32), roughness=0.0))
+    fr = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.3, 0.6, 0.3]],
+                  np.float32)
+    scene.instances.append(InstanceData(
+        frame=fr, shape=len(scene.shapes) - 1,
+        material=len(scene.materials) - 1))
+    return scene
+
+
+@pytest.mark.parametrize("make_scene,spp,tol_mean,tol_img", [
+    (_glass_cornell, 12, 1.2e-2, 0.08),
+])
+def test_wavefront_matches_lockstep(make_scene, spp, tol_mean, tol_img):
+    scene = make_scene()
+    base = dict(resolution=32, samples=spp, bounces=4,
+                sampler=SamplerType.path)
+    ref = get_image(Renderer(scene, TraceParams(**base)).render())[..., :3]
+    wf = WavefrontRenderer(scene, TraceParams(**base, spp_batch=4))
+    st = wf.render()
+    assert int(st.samples) == spp
+    img = np.asarray(st.image)[..., :3]
+    assert np.isfinite(img).all()
+    # global mean converges much faster than per-pixel values
+    assert abs(img.mean() - ref.mean()) < tol_mean
+    assert np.abs(img - ref).mean() < tol_img
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW_TESTS"),
+    reason="XLA CPU compile of the traversal takes minutes on 1 core; "
+           "the BVH wavefront path is exercised on TPU by bench/corpus "
+           "runs (set RUN_SLOW_TESTS=1 to run here)")
+def test_wavefront_bvh_path():
+    """Force the BVH + compacted-rounds traversal (not the dense sweep)."""
+    scene = _glass_cornell()
+    # subdivide the sphere so the candidate count crosses the BVH threshold
+    from yocto_tpu.models.procedural import make_sphere
+    scene.shapes[-1] = make_sphere(steps=48, scale=0.35)
+    base = dict(resolution=32, samples=4, bounces=4,
+                sampler=SamplerType.path)
+    ref = get_image(Renderer(scene, TraceParams(**base)).render())[..., :3]
+    wf = WavefrontRenderer(scene, TraceParams(**base, spp_batch=2))
+    assert wf.use_bvh
+    img = np.asarray(wf.render().image)[..., :3]
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 2e-2

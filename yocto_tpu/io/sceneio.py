@@ -230,7 +230,14 @@ def load_json_scene(path: str) -> SceneData:
         mat = MaterialData()
         scene.material_names.append(element.get("name", ""))
         if "type" in element:
-            mat.type = MaterialType[element["type"]]
+            # unknown type strings fall back to matte, matching the
+            # reference's nlohmann enum deserialization (an unmatched
+            # string maps to the first enum entry; e.g. the corpus'
+            # "volume" in materials4.json renders as matte there too)
+            try:
+                mat.type = MaterialType[element["type"]]
+            except KeyError:
+                mat.type = MaterialType.matte
         for key in ("emission", "color", "scattering"):
             if key in element:
                 setattr(mat, key, np.asarray(element[key], np.float32))

@@ -252,6 +252,8 @@ class _TravState(NamedTuple):
     inst: jax.Array
     elem: jax.Array       # global element id
     uv: jax.Array
+    wro: jax.Array        # [R,3] world ray (carried so the state is
+    wrd: jax.Array        #        self-contained under lane compaction)
     it: jax.Array
 
 
@@ -302,111 +304,141 @@ def _prim_hit(lo, ld, tmin, tmax, row, kind, kinds=None):
     return hit, uv, dist
 
 
+def trav_init(ro, rd, tmax=M.flt_max) -> _TravState:
+    """Fresh traversal state for a batch of world rays. (tmin is fixed at
+    the reference's ray epsilon, baked into make_trav_step.)"""
+    R = ro.shape[0]
+    return _TravState(
+        cur=jnp.zeros(R, jnp.int32),
+        o_resume=jnp.full(R, -1, jnp.int32),
+        cur_inst=jnp.full(R, -1, jnp.int32),
+        kind=jnp.zeros(R, jnp.int32),
+        lo=ro, ld=rd, ldinv=_safe_inv(rd),
+        tmax=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (R,)),
+        hit=jnp.zeros(R, bool),
+        inst=jnp.full(R, -1, jnp.int32),
+        elem=jnp.full(R, -1, jnp.int32),
+        uv=jnp.zeros((R, 2), jnp.float32),
+        wro=ro, wrd=rd,
+        it=jnp.zeros((), jnp.int32))
+
+
+def trav_results(st: _TravState, scene: FlatScene) -> SceneIntersection:
+    shape = scene.inst_shape[jnp.maximum(st.inst, 0)]
+    elem_local = st.elem - scene.shape_elem_start[shape]
+    return SceneIntersection(
+        hit=st.hit,
+        instance=jnp.where(st.hit, st.inst, -1),
+        element=jnp.where(st.hit, elem_local, -1),
+        uv=jnp.where(st.hit[:, None], st.uv, 0.0),
+        distance=jnp.where(st.hit, st.tmax, M.flt_max))
+
+
+def make_trav_step(bvh: FlatBvh, kinds=None, tmin=RAY_EPS):
+    """One node-step of the threaded two-level walk, shared by the
+    lockstep intersector and the wavefront (compacted-rounds) driver."""
+
+    def step(st: _TravState) -> _TravState:
+        ro, rd = st.wro, st.wrd
+        wdinv = _safe_inv(rd)
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
+                                  st.cur.shape)
+        inner = st.cur_inst >= 0
+        live = st.cur >= 0
+
+        # ---- gather 1: current node (either level)
+        row = bvh.nodes[jnp.maximum(st.cur, 0)]
+        skip = _i32(row[..., 6])
+        meta = _i32(row[..., 7])
+        it_min = (row[..., 0:3] - st.lo) * st.ldinv
+        it_max = (row[..., 3:6] - st.lo) * st.ldinv
+        lo3 = jnp.minimum(it_min, it_max)
+        hi3 = jnp.maximum(it_min, it_max)
+        t0 = jnp.maximum(jnp.maximum(
+            jnp.maximum(lo3[..., 0], lo3[..., 1]), lo3[..., 2]), tmin_b)
+        t1 = jnp.minimum(jnp.minimum(
+            jnp.minimum(hi3[..., 0], hi3[..., 1]), hi3[..., 2]),
+            st.tmax)
+        bhit = live & (t0 <= t1 * 1.00000024)
+        is_leaf = meta >= 0
+
+        # ---- gather 2: leaf primitive block (inner leaves only)
+        s_at_leaf = bhit & is_leaf & inner
+        leaf_id = meta >> 3
+        leaf_num = meta & 7
+        block = bvh.leaves[jnp.clip(leaf_id, 0,
+                                    bvh.leaves.shape[0] - 1)]
+        hit, inst_b, elem_b, uv_b, tmax_r = (
+            st.hit, st.inst, st.elem, st.uv, st.tmax)
+        for k in range(HB.BVH_MAX_PRIMS):
+            prow = block[..., 16 * k:16 * (k + 1)]
+            in_leaf = s_at_leaf & (k < leaf_num)
+            ehit, euv, edist = _prim_hit(st.lo, st.ld, tmin_b, tmax_r,
+                                         prow, st.kind, kinds=kinds)
+            take = in_leaf & ehit
+            hit = hit | take
+            inst_b = jnp.where(take, st.cur_inst, inst_b)
+            elem_b = jnp.where(take, _i32(prow[..., 14]), elem_b)
+            uv_b = jnp.where(take[:, None], euv, uv_b)
+            tmax_r = jnp.where(take, edist, tmax_r)
+
+        # ---- gather 3: instance row (outer leaves only)
+        enter = bhit & is_leaf & ~inner
+        new_inst = jnp.where(enter, meta, st.cur_inst)
+        irow = bvh.inst_rows[jnp.clip(
+            jnp.where(enter, meta, 0), 0,
+            bvh.inst_rows.shape[0] - 1)]
+        nlo = (ro[..., 0:1] * irow[..., 0:3]
+               + ro[..., 1:2] * irow[..., 3:6]
+               + ro[..., 2:3] * irow[..., 6:9] + irow[..., 9:12])
+        nld = (rd[..., 0:1] * irow[..., 0:3]
+               + rd[..., 1:2] * irow[..., 3:6]
+               + rd[..., 2:3] * irow[..., 6:9])
+        lo = jnp.where(enter[:, None], nlo, st.lo)
+        ld = jnp.where(enter[:, None], nld, st.ld)
+        ldinv = jnp.where(enter[:, None], _safe_inv(nld), st.ldinv)
+        kind = jnp.where(enter, _i32(irow[..., 13]), st.kind)
+        root = _i32(irow[..., 12])
+
+        # ---- cursor update
+        descend = bhit & ~is_leaf
+        nxt = jnp.where(descend, jnp.maximum(st.cur, 0) + 1, skip)
+        nxt = jnp.where(enter, root, nxt)
+        nxt = jnp.where(s_at_leaf, skip, nxt)
+        # inner subtree exhausted -> resume outer walk
+        inner_exit = inner & (nxt < 0)
+        nxt = jnp.where(inner_exit, st.o_resume, nxt)
+        cur_inst = jnp.where(inner_exit, -1, new_inst)
+        # restore world ray on exit
+        lo = jnp.where(inner_exit[:, None], ro, lo)
+        ld = jnp.where(inner_exit[:, None], rd, ld)
+        ldinv = jnp.where(inner_exit[:, None], wdinv, ldinv)
+        o_resume = jnp.where(enter, skip, st.o_resume)
+        nxt = jnp.where(live, nxt, st.cur)
+
+        return _TravState(
+            cur=nxt, o_resume=o_resume, cur_inst=cur_inst, kind=kind,
+            lo=lo, ld=ld, ldinv=ldinv, tmax=tmax_r, hit=hit,
+            inst=inst_b, elem=elem_b, uv=uv_b, wro=ro, wrd=rd,
+            it=st.it + 1)
+
+    return step
+
+
 def make_bvh_intersector(bvh: FlatBvh, find_any: bool = False,
                          debug_iters: bool = False, unroll: int = 4,
                          kinds=None):
-    """Returns intersect(scene, ro, rd, tmin, tmax) -> SceneIntersection.
+    """Lockstep intersect(scene, ro, rd, tmin, tmax) -> SceneIntersection.
 
     `unroll` node-steps run per while iteration: the while carry costs a
     buffer copy per carried array per iteration on TPU, so stepping several
-    nodes between carries amortizes that fixed cost."""
+    nodes between carries amortizes that fixed cost. The wavefront renderer
+    instead drives make_trav_step through compacted rounds."""
+    step = make_trav_step(bvh, kinds=kinds)
 
     def intersect(scene: FlatScene, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
-        R = ro.shape[0]
-        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (R,))
-        wdinv = _safe_inv(rd)
-
-        st = _TravState(
-            cur=jnp.zeros(R, jnp.int32),
-            o_resume=jnp.full(R, -1, jnp.int32),
-            cur_inst=jnp.full(R, -1, jnp.int32),
-            kind=jnp.zeros(R, jnp.int32),
-            lo=ro, ld=rd, ldinv=wdinv,
-            tmax=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (R,)),
-            hit=jnp.zeros(R, bool),
-            inst=jnp.full(R, -1, jnp.int32),
-            elem=jnp.full(R, -1, jnp.int32),
-            uv=jnp.zeros((R, 2), jnp.float32),
-            it=jnp.zeros((), jnp.int32))
-
-        def step(st: _TravState) -> _TravState:
-            inner = st.cur_inst >= 0
-            live = st.cur >= 0
-
-            # ---- gather 1: current node (either level)
-            row = bvh.nodes[jnp.maximum(st.cur, 0)]
-            skip = _i32(row[..., 6])
-            meta = _i32(row[..., 7])
-            it_min = (row[..., 0:3] - st.lo) * st.ldinv
-            it_max = (row[..., 3:6] - st.lo) * st.ldinv
-            lo3 = jnp.minimum(it_min, it_max)
-            hi3 = jnp.maximum(it_min, it_max)
-            t0 = jnp.maximum(jnp.maximum(
-                jnp.maximum(lo3[..., 0], lo3[..., 1]), lo3[..., 2]), tmin_b)
-            t1 = jnp.minimum(jnp.minimum(
-                jnp.minimum(hi3[..., 0], hi3[..., 1]), hi3[..., 2]),
-                st.tmax)
-            bhit = live & (t0 <= t1 * 1.00000024)
-            is_leaf = meta >= 0
-
-            # ---- gather 2: leaf primitive block (inner leaves only)
-            s_at_leaf = bhit & is_leaf & inner
-            leaf_id = meta >> 3
-            leaf_num = meta & 7
-            block = bvh.leaves[jnp.clip(leaf_id, 0,
-                                        bvh.leaves.shape[0] - 1)]
-            hit, inst_b, elem_b, uv_b, tmax_r = (
-                st.hit, st.inst, st.elem, st.uv, st.tmax)
-            for k in range(HB.BVH_MAX_PRIMS):
-                prow = block[..., 16 * k:16 * (k + 1)]
-                in_leaf = s_at_leaf & (k < leaf_num)
-                ehit, euv, edist = _prim_hit(st.lo, st.ld, tmin_b, tmax_r,
-                                             prow, st.kind, kinds=kinds)
-                take = in_leaf & ehit
-                hit = hit | take
-                inst_b = jnp.where(take, st.cur_inst, inst_b)
-                elem_b = jnp.where(take, _i32(prow[..., 14]), elem_b)
-                uv_b = jnp.where(take[:, None], euv, uv_b)
-                tmax_r = jnp.where(take, edist, tmax_r)
-
-            # ---- gather 3: instance row (outer leaves only)
-            enter = bhit & is_leaf & ~inner
-            new_inst = jnp.where(enter, meta, st.cur_inst)
-            irow = bvh.inst_rows[jnp.clip(
-                jnp.where(enter, meta, 0), 0,
-                bvh.inst_rows.shape[0] - 1)]
-            nlo = (ro[..., 0:1] * irow[..., 0:3]
-                   + ro[..., 1:2] * irow[..., 3:6]
-                   + ro[..., 2:3] * irow[..., 6:9] + irow[..., 9:12])
-            nld = (rd[..., 0:1] * irow[..., 0:3]
-                   + rd[..., 1:2] * irow[..., 3:6]
-                   + rd[..., 2:3] * irow[..., 6:9])
-            lo = jnp.where(enter[:, None], nlo, st.lo)
-            ld = jnp.where(enter[:, None], nld, st.ld)
-            ldinv = jnp.where(enter[:, None], _safe_inv(nld), st.ldinv)
-            kind = jnp.where(enter, _i32(irow[..., 13]), st.kind)
-            root = _i32(irow[..., 12])
-
-            # ---- cursor update
-            descend = bhit & ~is_leaf
-            nxt = jnp.where(descend, jnp.maximum(st.cur, 0) + 1, skip)
-            nxt = jnp.where(enter, root, nxt)
-            nxt = jnp.where(s_at_leaf, skip, nxt)
-            # inner subtree exhausted -> resume outer walk
-            inner_exit = inner & (nxt < 0)
-            nxt = jnp.where(inner_exit, st.o_resume, nxt)
-            cur_inst = jnp.where(inner_exit, -1, new_inst)
-            # restore world ray on exit
-            lo = jnp.where(inner_exit[:, None], ro, lo)
-            ld = jnp.where(inner_exit[:, None], rd, ld)
-            ldinv = jnp.where(inner_exit[:, None], wdinv, ldinv)
-            o_resume = jnp.where(enter, skip, st.o_resume)
-            nxt = jnp.where(live, nxt, st.cur)
-
-            return _TravState(
-                cur=nxt, o_resume=o_resume, cur_inst=cur_inst, kind=kind,
-                lo=lo, ld=ld, ldinv=ldinv, tmax=tmax_r, hit=hit,
-                inst=inst_b, elem=elem_b, uv=uv_b, it=st.it + 1)
+        del tmin  # the step bakes the reference ray epsilon
+        st = trav_init(ro, rd, tmax=tmax)
 
         def body(st: _TravState) -> _TravState:
             for _ in range(unroll):
@@ -420,15 +452,7 @@ def make_bvh_intersector(bvh: FlatBvh, find_any: bool = False,
             return jnp.any(live)
 
         st = jax.lax.while_loop(cond, body, st)
-
-        shape = scene.inst_shape[jnp.maximum(st.inst, 0)]
-        elem_local = st.elem - scene.shape_elem_start[shape]
-        result = SceneIntersection(
-            hit=st.hit,
-            instance=jnp.where(st.hit, st.inst, -1),
-            element=jnp.where(st.hit, elem_local, -1),
-            uv=jnp.where(st.hit[:, None], st.uv, 0.0),
-            distance=jnp.where(st.hit, st.tmax, M.flt_max))
+        result = trav_results(st, scene)
         if debug_iters:
             return result, st.it
         return result

@@ -1,0 +1,683 @@
+"""Wavefront path renderer: host-driven bounces over compacted ray queues.
+
+This is the TPU-native production pipeline promised by SURVEY.md §7 step 6
+— the replacement for the reference's CUDA megakernel
+(__raygen__trace_pixel, yocto_cutrace.cu:2152), whose per-thread divergent
+loops do not map to a vector machine. Two sources of lockstep waste are
+removed:
+
+1. **Bounce-level compaction.** The lockstep sampler's `lax.while_loop`
+   runs every lane until the LAST lane dies; under Russian roulette the
+   live population shrinks roughly geometrically, so late iterations do
+   full-width work for a sliver of live lanes. Here each bounce is a
+   host-level step: lanes that died are scatter-added into the image and
+   the survivors are gathered into the next power-of-two bucket.
+
+2. **Traversal-round compaction.** BVH walks have a long tail (on the
+   corpus ~70% of rays finish within 128 node-steps but the worst lane
+   needs ~1100; measured in-repo). The traversal `while_loop` exits early
+   once the live fraction drops below 1/8, the finished lanes' hits are
+   scattered out, and the stragglers are re-packed and resumed — total
+   work approaches sum(per-ray steps) instead of rays x max(steps).
+
+Per-lane PCG32 streams are seeded per (pixel, sample) like the fast
+multi-spp mode (statistically independent, not draw-for-draw identical to
+the reference; the lockstep renderer remains the bit-parity path).
+Volume scenes fall back to the lockstep renderer (volume stacks need
+per-lane history that crosses compaction; supported there).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import SceneData
+from ..ops import mathops as M
+from ..ops import rng as R
+from ..ops import sampling as SMP
+from . import bsdf as B
+from .bvh import (build_scene_bvh, make_trav_step, trav_init, trav_results,
+                  _TravState)
+from .compile import FlatScene, compile_scene, scene_features
+from .intersect import intersect_scene_bruteforce
+from .lights import make_trace_lights, sample_lights, sample_lights_pdf
+from .params import SamplerType, TraceParams
+from .renderer import TraceState, make_trace_state, render_size
+from .sceneval import (eval_camera, eval_environment, eval_material,
+                       eval_shading_normal, eval_shading_position,
+                       is_delta_point)
+
+MIN_BUCKET = 4096
+TRAV_EXIT_FRAC = 8       # exit the traversal loop below 1/8 live lanes
+TRAV_UNROLL = 4
+
+
+VOLUME_STACK_CAP = 4  # matches the CUDA reference's fixed svector
+
+
+class Lanes(NamedTuple):
+    """Per-path-lane state; pix < 0 marks a dead/padding lane. The volume
+    stack is per-lane state and survives compaction untouched."""
+
+    pix: jax.Array        # [B] i32 pixel index (-1 = dead)
+    ro: jax.Array         # [B,3]
+    rd: jax.Array
+    weight: jax.Array     # [B,3]
+    radiance: jax.Array   # [B,3]
+    bounce: jax.Array     # [B] i32
+    opbounce: jax.Array   # [B] i32
+    rng: R.RngState
+    vol_density: jax.Array = None     # [B,CAP,3] (None if no volumes)
+    vol_scattering: jax.Array = None  # [B,CAP,3]
+    vol_aniso: jax.Array = None       # [B,CAP]
+    vol_depth: jax.Array = None       # [B] i32
+
+
+def _next_bucket(n: int) -> int:
+    """Power-of-FOUR buckets: every distinct bucket size costs one XLA
+    compile of each wavefront stage, so the ladder is kept coarse (4096,
+    16384, 65536, 262144, ...) — at most ~4 sizes per render."""
+    b = MIN_BUCKET
+    while b < n:
+        b *= 4
+    return b
+
+
+class WavefrontRenderer:
+    """Renderer-compatible wavefront pipeline (path sampler)."""
+
+    def __init__(self, scene: SceneData, params: TraceParams):
+        if params.sampler not in (SamplerType.path, SamplerType.pathtest):
+            raise ValueError("wavefront pipeline implements the path "
+                             "sampler; use Renderer for others")
+        self.scene_host = scene
+        self.params = params
+        self.flat = compile_scene(scene)
+        self.features = scene_features(scene)
+        if params.nocaustics:
+            raise ValueError("nocaustics needs the per-lane max-roughness "
+                             "history; use the lockstep Renderer")
+        self.lights, self.meta = make_trace_lights(scene)
+        self.width, self.height = render_size(scene, params)
+        self.spp_batch = max(1, params.spp_batch)
+        n_cands = int(self.flat.cand_inst.shape[0])
+        self.use_bvh = n_cands > 4096 and not params.bruteforce
+        if self.use_bvh:
+            self.bvh = build_scene_bvh(scene, params.highqualitybvh)
+            self._trav_step = make_trav_step(self.bvh,
+                                             kinds=self.features.kinds)
+        else:
+            self.bvh = None
+        self._jits = {}
+
+    # ------------------------------------------------------------------
+    # jitted stages (cached per bucket size via shape polymorphism of jit)
+    # ------------------------------------------------------------------
+
+    def _raygen(self):
+        key = "raygen"
+        if key in self._jits:
+            return self._jits[key]
+        params, width, height = self.params, self.width, self.height
+        has_volumes = self.features.has_volumes
+        npix = width * height
+        spp = self.spp_batch
+        n = npix * spp
+        seq_hi, seq_lo = R.make_pixel_seqs(npix)
+
+        @jax.jit
+        def raygen(flat, sample_idx):
+            k_lane = (sample_idx
+                      + jnp.repeat(jnp.arange(spp, dtype=jnp.int32), npix))
+            rngs = R.make_rng_offset(params.seed, k_lane,
+                                     jnp.tile(seq_hi, spp),
+                                     jnp.tile(seq_lo, spp))
+            jj, ii = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                                  jnp.arange(width, dtype=jnp.float32),
+                                  indexing="ij")
+            i = jnp.tile(ii.reshape(-1), spp)
+            j = jnp.tile(jj.reshape(-1), spp)
+            luv, rngs = R.rand2f(rngs)
+            puv, rngs = R.rand2f(rngs)
+            uv = jnp.stack([(i + puv[..., 0]) / width,
+                            (j + puv[..., 1]) / height], axis=-1)
+            ro, rd = eval_camera(flat, params.camera, uv,
+                                 SMP.sample_disk(luv))
+            vol = {}
+            if has_volumes:
+                cap = VOLUME_STACK_CAP
+                vol = dict(
+                    vol_density=jnp.zeros((n, cap, 3), jnp.float32),
+                    vol_scattering=jnp.zeros((n, cap, 3), jnp.float32),
+                    vol_aniso=jnp.zeros((n, cap), jnp.float32),
+                    vol_depth=jnp.zeros(n, jnp.int32))
+            return Lanes(
+                pix=jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp),
+                ro=ro, rd=rd,
+                weight=jnp.ones((n, 3), jnp.float32),
+                radiance=jnp.zeros((n, 3), jnp.float32),
+                bounce=jnp.zeros(n, jnp.int32),
+                opbounce=jnp.zeros(n, jnp.int32), rng=rngs, **vol)
+
+        self._jits[key] = raygen
+        return raygen
+
+    def _trav_round(self):
+        key = "trav_round"
+        if key in self._jits:
+            return self._jits[key]
+        step = self._trav_step
+
+        @jax.jit
+        def trav_round(st: _TravState):
+            bucket = st.cur.shape[0]
+            st = st._replace(it=jnp.zeros((), jnp.int32))
+
+            def body(st):
+                for _ in range(TRAV_UNROLL):
+                    st = step(st)
+                return st
+
+            if bucket <= MIN_BUCKET:
+                # no compaction possible below the minimum bucket: run the
+                # stragglers to completion in one dispatch
+                def cond(st):
+                    return jnp.any(st.cur >= 0)
+            else:
+                def cond(st):
+                    live = jnp.sum((st.cur >= 0).astype(jnp.int32))
+                    return (live > 0) & ((live * TRAV_EXIT_FRAC > bucket)
+                                         | (st.it < 16)) & (st.it < 4096)
+
+            return jax.lax.while_loop(cond, body, st)
+
+        self._jits[key] = trav_round
+        return trav_round
+
+    def _gather(self):
+        key = "gather"
+        if key in self._jits:
+            return self._jits[key]
+
+        @jax.jit
+        def gather(tree, idx):
+            return jax.tree.map(
+                lambda a: a[idx] if getattr(a, "ndim", 1) else a, tree)
+
+        self._jits[key] = gather
+        return gather
+
+    def _trav_scatter(self):
+        key = "trav_scatter"
+        if key in self._jits:
+            return self._jits[key]
+
+        @jax.jit
+        def scatter(results, st: _TravState, src):
+            hit, inst, elem, uv, dist = results
+            ok = src >= 0
+            s = jnp.where(ok, src, 0)
+            upd = lambda dst, val: dst.at[s].set(
+                jnp.where(ok.reshape(ok.shape + (1,) * (val.ndim - 1)),
+                          val, dst[s]))
+            return (upd(hit, st.hit), upd(inst, st.inst),
+                    upd(elem, st.elem), upd(uv, st.uv),
+                    upd(dist, jnp.where(st.hit, st.tmax, M.flt_max)))
+
+        self._jits[key] = scatter
+        return scatter
+
+    def _intersect_dense(self):
+        key = "isec_dense"
+        if key in self._jits:
+            return self._jits[key]
+        kinds = self.features.kinds
+
+        @jax.jit
+        def isec_dense(flat, ro, rd):
+            return intersect_scene_bruteforce(flat, ro, rd, kinds=kinds)
+
+        self._jits[key] = isec_dense
+        return isec_dense
+
+    def _shade(self):
+        key = "shade"
+        if key in self._jits:
+            return self._jits[key]
+        params, feat = self.params, self.features
+        meta = self.meta
+        has_lights = meta.n_lights > 0
+        has_delta = feat.has_delta
+        has_opacity = feat.has_opacity
+        has_volumes = feat.has_volumes
+        types = feat.mat_types
+        envhidden = params.envhidden
+        from ..ops import shading as SH
+        from .sceneval import is_volumetric_instance
+
+        @jax.jit
+        def shade(flat, lights, lanes: Lanes, hit, inst_g, elem_g, uv_g,
+                  dist):
+            """One surface interaction for every lane; returns the updated
+            lanes (dead lanes keep pix=-1) + first-bounce AOVs."""
+            has_env = flat.env_frame.shape[0] > 0
+            act = lanes.pix >= 0
+            hit_l = act & hit
+            radiance = lanes.radiance
+
+            if has_env:
+                miss = act & ~hit
+                env_ok = miss & ((lanes.bounce > 0) | (not envhidden))
+                env = eval_environment(flat, lanes.rd)
+                radiance = jnp.where(env_ok[:, None],
+                                     radiance + lanes.weight * env,
+                                     radiance)
+            alive = hit_l
+            rng = lanes.rng
+            weight0 = lanes.weight
+
+            # --- volume transmittance (yocto_trace.cpp:479-488)
+            if has_volumes:
+                cap = VOLUME_STACK_CAP
+                in_stack = hit_l & (lanes.vol_depth > 0)
+                r_tr2, rng = R.rand1f_if(rng, in_stack)
+                r_tr1, rng = R.rand1f_if(rng, in_stack)
+                slot = jnp.maximum(lanes.vol_depth - 1, 0)
+                take = lambda a: jnp.take_along_axis(
+                    a, slot[:, None, None] if a.ndim == 3 else slot[:, None],
+                    axis=1)[:, 0]
+                top_density = take(lanes.vol_density)
+                top_scat = take(lanes.vol_scattering)
+                top_aniso = take(lanes.vol_aniso)
+                tdist = SH.sample_transmittance(top_density, dist,
+                                                r_tr1, r_tr2)
+                trans = SH.eval_transmittance(top_density, tdist)
+                tpdf = SH.sample_transmittance_pdf(top_density, tdist, dist)
+                safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[:, None]
+                weight0 = jnp.where(in_stack[:, None],
+                                    weight0 * trans / safe_tpdf, weight0)
+                in_volume = in_stack & (tdist < dist)
+            else:
+                in_volume = jnp.zeros_like(hit_l)
+
+            inst = jnp.maximum(inst_g, 0)
+            shape = flat.inst_shape[inst]
+            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            outgoing = -lanes.rd
+            position = eval_shading_position(flat, inst, gelem, uv_g,
+                                             outgoing)
+            normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
+                                         features=feat)
+            material = eval_material(flat, inst, gelem, uv_g, features=feat)
+            surf = alive & ~in_volume if has_volumes else alive
+
+            if has_opacity:
+                op_lt1 = surf & (material.opacity < 1.0)
+                r_op, rng = R.rand1f_if(rng, op_lt1)
+                op_skip = op_lt1 & (r_op >= material.opacity)
+                op_die = op_skip & (lanes.opbounce > 128)
+                opbounce = jnp.where(op_skip, lanes.opbounce + 1,
+                                     lanes.opbounce)
+                alive = alive & ~op_die
+                shade_m = surf & ~op_skip & alive
+            else:
+                op_skip = jnp.zeros_like(alive)
+                opbounce = lanes.opbounce
+                shade_m = surf
+
+            first = shade_m & (lanes.bounce == 0)
+            albedo = jnp.where(first[:, None], material.color, 0.0)
+            normal_aov = jnp.where(first[:, None], normal, 0.0)
+
+            emis = B.eval_emission(material, normal, outgoing)
+            radiance = jnp.where(shade_m[:, None],
+                                 radiance + weight0 * emis, radiance)
+
+            delta = is_delta_point(material) if has_delta \
+                else jnp.zeros_like(shade_m)
+            nd = shade_m & ~delta if has_delta else shade_m
+            r_choice, rng = R.rand1f_if(rng, nd)
+            use_bsdf = r_choice < 0.5
+            rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
+            rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
+            inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl,
+                                        rn2, types=types)
+            if has_lights:
+                ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
+                rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+                rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+                inc_light = sample_lights(flat, lights, meta, position,
+                                          rl, rel, ruv)
+                incoming_nd = jnp.where(use_bsdf[:, None], inc_bsdf,
+                                        inc_light)
+            else:
+                incoming_nd = inc_bsdf
+            nd_zero = nd & M.is_zero3(incoming_nd)
+            nd_ok = nd & ~nd_zero
+            f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd,
+                                  types=types)
+            pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing,
+                                         incoming_nd, types=types)
+            if has_lights:
+                pdf_l = sample_lights_pdf(flat, lights, meta, position,
+                                          incoming_nd)
+                pdf_nd = 0.5 * pdf_b + 0.5 * pdf_l
+            else:
+                pdf_nd = 0.5 * pdf_b
+            safe_pdf = jnp.where(pdf_nd == 0.0, 1.0, pdf_nd)[:, None]
+            weight = jnp.where(nd_ok[:, None],
+                               weight0 * f_nd / safe_pdf, weight0)
+
+            if has_delta:
+                dl = shade_m & delta
+                r_delta, rng = R.rand1f_if(rng, dl)
+                inc_delta = B.sample_delta(material, normal, outgoing,
+                                           r_delta, types=types)
+                dl_zero = dl & M.is_zero3(inc_delta)
+                dl_ok = dl & ~dl_zero
+                f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                    types=types)
+                pdf_dl = B.sample_delta_pdf(material, normal, outgoing,
+                                            inc_delta, types=types)
+                safe_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[:, None]
+                weight = jnp.where(dl_ok[:, None],
+                                   weight * f_dl / safe_dl, weight)
+                incoming = jnp.where(delta[:, None], inc_delta, incoming_nd)
+                alive = alive & ~(nd_zero | dl_zero)
+            else:
+                incoming = incoming_nd
+                alive = alive & ~nd_zero
+
+            # --- volume stack update (yocto_trace.cpp:544-553)
+            vol_kwargs = {}
+            if has_volumes:
+                crossed = (M.dot(normal, outgoing)
+                           * M.dot(normal, incoming)) < 0.0
+                vol_change = shade_m & alive & crossed \
+                    & is_volumetric_instance(flat, inst)
+                push = vol_change & (lanes.vol_depth == 0)
+                pop = vol_change & (lanes.vol_depth > 0)
+                cap = VOLUME_STACK_CAP
+                pslot = jnp.minimum(lanes.vol_depth, cap - 1)
+                oh = (jax.nn.one_hot(pslot, cap, dtype=bool)
+                      & push[:, None])
+                vol_density = jnp.where(oh[..., None],
+                                        material.density[:, None, :],
+                                        lanes.vol_density)
+                vol_scattering = jnp.where(oh[..., None],
+                                           material.scattering[:, None, :],
+                                           lanes.vol_scattering)
+                vol_aniso = jnp.where(oh,
+                                      material.scanisotropy[:, None],
+                                      lanes.vol_aniso)
+                vol_depth = jnp.where(
+                    push, jnp.minimum(lanes.vol_depth + 1, cap),
+                    jnp.where(pop, jnp.maximum(lanes.vol_depth - 1, 0),
+                              lanes.vol_depth))
+
+            ro = jnp.where(shade_m[:, None], position, lanes.ro)
+            rd = jnp.where(shade_m[:, None], incoming, lanes.rd)
+            if has_opacity:
+                ro = jnp.where(op_skip[:, None],
+                               position + lanes.rd * 1e-2, ro)
+
+            # --- volume interaction branch (yocto_trace.cpp:556-583)
+            if has_volumes:
+                vol = hit_l & in_volume & alive
+                position_v = lanes.ro + lanes.rd * tdist[:, None]
+                outgoing_v = -lanes.rd
+                r_cv, rng = R.rand1f_if(rng, vol)
+                use_scat = r_cv < 0.5
+                rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+                rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+                inc_scat = B.sample_scattering(top_aniso, outgoing_v, rn2_v)
+                if has_lights:
+                    ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                    rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    inc_lv = sample_lights(flat, lights, meta, position_v,
+                                           rl_v, rel_v, ruv_v)
+                    incoming_v = jnp.where(use_scat[:, None], inc_scat,
+                                           inc_lv)
+                else:
+                    incoming_v = inc_scat
+                v_zero = vol & M.is_zero3(incoming_v)
+                v_ok = vol & ~v_zero
+                f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                        outgoing_v, incoming_v)
+                pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                                 outgoing_v, incoming_v)
+                if has_lights:
+                    pdf_vl = sample_lights_pdf(flat, lights, meta,
+                                               position_v, incoming_v)
+                    pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+                else:
+                    pdf_v = 0.5 * pdf_vs
+                safe_pv = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[:, None]
+                weight = jnp.where(v_ok[:, None],
+                                   weight0 * f_v / safe_pv, weight)
+                alive = alive & ~v_zero
+                ro = jnp.where(v_ok[:, None], position_v, ro)
+                rd = jnp.where(v_ok[:, None], incoming_v, rd)
+                processed = (shade_m | vol)
+                vol_kwargs = dict(vol_density=vol_density,
+                                  vol_scattering=vol_scattering,
+                                  vol_aniso=vol_aniso,
+                                  vol_depth=vol_depth)
+            else:
+                vol = jnp.zeros_like(shade_m)
+                processed = shade_m
+
+            wzero = M.is_zero3(weight)
+            wbad = ~M.isfinite3(weight)
+            alive = alive & ~(processed & (wzero | wbad))
+
+            rr = processed & alive & (lanes.bounce > 3)
+            rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(weight))
+            r_rr, rng = R.rand1f_if(rng, rr)
+            rr_die = rr & (r_rr >= rr_prob)
+            safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+            weight = jnp.where((rr & ~rr_die)[:, None],
+                               weight / safe_rr[:, None], weight)
+            alive = alive & ~rr_die
+
+            bounce = jnp.where(processed & alive, lanes.bounce + 1,
+                               lanes.bounce)
+            cont = alive & (op_skip | (bounce < params.bounces)) \
+                & (processed | op_skip)
+            pix = jnp.where(cont, lanes.pix, -1)
+            # hit flag for the sample's alpha/hits accumulators
+            hit_aov = shade_m & (lanes.bounce == 0)
+            return (Lanes(pix=pix, ro=ro, rd=rd, weight=weight,
+                          radiance=radiance, bounce=bounce,
+                          opbounce=opbounce, rng=rng, **vol_kwargs),
+                    hit_aov, albedo, normal_aov)
+
+        self._jits[key] = shade
+        return shade
+
+    def _scatter_img(self):
+        key = "scatter_img"
+        if key in self._jits:
+            return self._jits[key]
+
+        clamp = self.params.clamp
+
+        @jax.jit
+        def scatter(img, pix_prev, radiance, pix_now):
+            """Add radiance of lanes that died this bounce (pix_prev >= 0
+            and pix_now < 0) into the flat [N,3] sample image. Each lane is
+            one full per-pixel sample, so the reference's per-sample clamp
+            and NaN scrub (yocto_trace.cpp:1471-1475) apply per lane."""
+            dead = (pix_prev >= 0) & (pix_now < 0)
+            finite = M.isfinite3(radiance)[:, None]
+            rad = jnp.where(finite, radiance, 0.0)
+            mx = M.maxc(rad)
+            scale = jnp.where(mx > clamp,
+                              clamp / jnp.maximum(mx, 1e-20), 1.0)
+            rad = rad * scale[:, None]
+            idx = jnp.where(dead, pix_prev, 0)
+            return img.at[idx].add(jnp.where(dead[:, None], rad, 0.0))
+
+        self._jits[key] = scatter
+        return scatter
+
+    def _scatter_aov(self):
+        key = "scatter_aov"
+        if key in self._jits:
+            return self._jits[key]
+
+        @jax.jit
+        def scatter(albedo_img, normal_img, hits_img, pix, hit_aov,
+                    albedo, normal_aov):
+            ok = (pix >= 0) & hit_aov
+            idx = jnp.where(ok, pix, 0)
+            albedo_img = albedo_img.at[idx].add(
+                jnp.where(ok[:, None], albedo, 0.0))
+            normal_img = normal_img.at[idx].add(
+                jnp.where(ok[:, None], normal_aov, 0.0))
+            hits_img = hits_img.at[idx].add(ok.astype(jnp.int32))
+            return albedo_img, normal_img, hits_img
+
+        self._jits[key] = scatter
+        return scatter
+
+    # ------------------------------------------------------------------
+    # host drivers
+    # ------------------------------------------------------------------
+
+    def _traverse(self, ro, rd):
+        """Full-batch closest hit via compacted traversal rounds."""
+        n = ro.shape[0]
+        trav_round = self._trav_round()
+        gather = self._gather()
+        scatter = self._trav_scatter()
+        st = trav_init(ro, rd)
+        src = jnp.arange(n, dtype=jnp.int32)
+        results = (jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32),
+                   jnp.full(n, -1, jnp.int32),
+                   jnp.zeros((n, 2), jnp.float32),
+                   jnp.full(n, M.flt_max, jnp.float32))
+        for _ in range(64):
+            st = trav_round(st)
+            results = scatter(results, st, src)
+            live = np.asarray(st.cur >= 0)
+            nlive = int(live.sum())
+            if nlive == 0:
+                break
+            idx_np = np.nonzero(live)[0]
+            bucket = _next_bucket(nlive)
+            if bucket >= st.cur.shape[0]:
+                continue  # no shrink possible yet
+            # pad with a dead lane index (first dead lane keeps cur=-1)
+            dead = np.nonzero(~live)[0]
+            pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
+            idx_np = np.concatenate(
+                [idx_np, np.full(bucket - nlive, pad_val, np.int64)])
+            idx = jnp.asarray(idx_np, jnp.int32)
+            st = gather(st, idx)
+            src = gather(src, idx)
+        hit, inst, elem, uv, dist = results
+        return hit, inst, elem, uv, dist
+
+    def render_sample(self, flat, lights, sample_idx: int):
+        """One path-traced sample for every pixel -> flat [N,3] radiance
+        (+ hit/albedo/normal AOV sums)."""
+        npix = self.width * self.height
+        lanes = self._raygen()(flat, sample_idx)
+        shade = self._shade()
+        scatter_img = self._scatter_img()
+        scatter_aov = self._scatter_aov()
+        gather = self._gather()
+        isec_dense = self._intersect_dense() if not self.use_bvh else None
+
+        img = jnp.zeros((npix, 3), jnp.float32)
+        albedo = jnp.zeros((npix, 3), jnp.float32)
+        normal = jnp.zeros((npix, 3), jnp.float32)
+        hits = jnp.zeros(npix, jnp.int32)
+
+        max_iters = self.params.bounces + 32
+        for it in range(max_iters):
+            if self.use_bvh:
+                hit, inst_g, elem_g, uv_g, dist = self._traverse(
+                    lanes.ro, lanes.rd)
+                # convert global->local element ids for shade
+                shape = flat.inst_shape[jnp.maximum(inst_g, 0)]
+                elem_l = elem_g - flat.shape_elem_start[shape]
+            else:
+                isec = isec_dense(flat, lanes.ro, lanes.rd)
+                hit, inst_g, elem_l = isec.hit, isec.instance, isec.element
+                uv_g, dist = isec.uv, isec.distance
+            pix_prev = lanes.pix
+            lanes, hit_aov, alb, nrm = shade(flat, lights, lanes, hit,
+                                             inst_g, elem_l, uv_g, dist)
+            img = scatter_img(img, pix_prev, lanes.radiance, lanes.pix)
+            if it == 0:
+                albedo, normal, hits = scatter_aov(
+                    albedo, normal, hits, pix_prev, hit_aov, alb, nrm)
+            live = np.asarray(lanes.pix >= 0)
+            nlive = int(live.sum())
+            if nlive == 0:
+                break
+            bucket = _next_bucket(nlive)
+            if bucket < lanes.pix.shape[0]:
+                idx_np = np.nonzero(live)[0]
+                dead = np.nonzero(~live)[0]
+                pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
+                idx_np = np.concatenate(
+                    [idx_np, np.full(bucket - nlive, pad_val, np.int64)])
+                lanes = gather(lanes, jnp.asarray(idx_np, jnp.int32))
+        else:
+            # lanes at the iteration cap still contribute their radiance
+            img = scatter_img(img, lanes.pix,
+                              lanes.radiance,
+                              jnp.full_like(lanes.pix, -1))
+        return img, albedo, normal, hits
+
+    # ------------------------------------------------------------------
+    # Renderer-compatible API
+    # ------------------------------------------------------------------
+
+    def make_state(self) -> TraceState:
+        return make_trace_state(self.scene_host, self.params)
+
+    def sample(self, state: TraceState) -> TraceState:
+        s = int(state.samples)
+        spp = self.spp_batch
+        img, albedo, normal, hits = self.render_sample(
+            self.flat, self.lights, s)
+        h, w = self.height, self.width
+        img = img / spp  # per-lane clamp applied in the scatter
+        albedo = albedo / spp
+        normal = normal / spp
+        has_env = self.flat.env_frame.shape[0] > 0
+        if has_env and not self.params.envhidden:
+            alpha = jnp.ones((h * w, 1), jnp.float32)
+        else:
+            alpha = (hits > 0).astype(jnp.float32)[:, None]
+            img = img * alpha
+        img4 = jnp.concatenate([img, alpha], axis=1).reshape(h, w, 4)
+        wgt = spp / (state.samples.astype(jnp.float32) + spp)
+        return TraceState(
+            image=state.image + (img4 - state.image) * wgt,
+            albedo=state.albedo + (albedo.reshape(h, w, 3)
+                                   - state.albedo) * wgt,
+            normal=state.normal + (normal.reshape(h, w, 3)
+                                   - state.normal) * wgt,
+            hits=state.hits + hits.reshape(h, w),
+            rng=state.rng, samples=state.samples + spp)
+
+    def render(self, nsamples: Optional[int] = None,
+               callback=None) -> TraceState:
+        state = self.make_state()
+        total = self.params.samples if nsamples is None else nsamples
+        while int(state.samples) < total:
+            state = self.sample(state)
+            if callback is not None:
+                callback(state, int(state.samples) - 1)
+        return state
