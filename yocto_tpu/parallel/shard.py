@@ -1,0 +1,237 @@
+"""Instance-sharded rendering: geometry distributed across the mesh with
+ppermute ray migration.
+
+Tile sharding (parallel.mesh) replicates the scene; for scenes exceeding
+per-chip HBM (bistro-class, BASELINE.json config 5) the GEOMETRY itself is
+partitioned: each device owns a subset of instances (with the shapes they
+reference), materials/textures/lights stay replicated (they are small next
+to 10^6-triangle geometry pools). This is the renderer's model-parallel
+("TP") axis from SURVEY.md §2.3.
+
+The distributed intersection is a ring algorithm over the ICI:
+
+    every device: best = miss
+    repeat D times:
+        best = merge(best, intersect_local_shard(rays))
+        (rays, best) = ppermute -> next device on the ring
+    # after D hops each ray has been tested against every shard and is
+    # back on its home device carrying the global closest hit
+
+Because shading needs attributes of the WINNING hit — whose geometry lives
+only on the owning shard — the local intersect eagerly evaluates a
+**deferred hit record** (position, geometric + shading normal, texcoord,
+vertex color, material id) so any device can shade it against the
+replicated material/texture tables. Merging two deferred records is an
+elementwise closest-t select, so the ring is associative and
+order-independent.
+
+Each device's shard is one slice of a leading device axis on stacked,
+padded scene arrays — inside shard_map a device sees only its own [1,...]
+slice, so per-device HBM holds 1/D of the geometry (plus padding to the
+largest shard).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.scene import SceneData
+from ..ops import mathops as M
+from ..trace.compile import FlatScene, compile_scene
+from ..trace.intersect import RAY_EPS, _intersect_element
+
+
+class DeferredHit(NamedTuple):
+    """Closest hit + everything shading needs, carried with the ray."""
+
+    dist: jax.Array      # [R] f32 (flt_max = miss)
+    inst: jax.Array      # [R] i32 GLOBAL instance id (-1 = miss)
+    material: jax.Array  # [R] i32
+    position: jax.Array  # [R,3] world space
+    gnormal: jax.Array   # [R,3] geometric normal
+    snormal: jax.Array   # [R,3] interpolated shading normal
+    texcoord: jax.Array  # [R,2]
+    color: jax.Array     # [R,4] vertex color
+
+
+def _miss_hit(n):
+    return DeferredHit(
+        dist=jnp.full(n, M.flt_max, jnp.float32),
+        inst=jnp.full(n, -1, jnp.int32),
+        material=jnp.zeros(n, jnp.int32),
+        position=jnp.zeros((n, 3), jnp.float32),
+        gnormal=jnp.zeros((n, 3), jnp.float32),
+        snormal=jnp.zeros((n, 3), jnp.float32),
+        texcoord=jnp.zeros((n, 2), jnp.float32),
+        color=jnp.ones((n, 4), jnp.float32))
+
+
+def _merge(a: DeferredHit, b: DeferredHit) -> DeferredHit:
+    take_b = b.dist < a.dist
+    sel = lambda x, y: jnp.where(
+        take_b.reshape(take_b.shape + (1,) * (x.ndim - 1)), y, x)
+    return DeferredHit(*[sel(x, y) for x, y in zip(a, b)])
+
+
+def shard_scene(scene: SceneData, ndev: int):
+    """Partition instances over `ndev` shards (greedy largest-first by
+    element count) -> stacked+padded FlatScene pytree with a leading
+    device axis, plus per-shard global-instance-id tables."""
+    sizes = []
+    for inst in scene.instances:
+        s = scene.shapes[inst.shape]
+        sizes.append(max(len(s.triangles), len(s.quads), len(s.lines),
+                         len(s.points), 1))
+    order = np.argsort(sizes)[::-1]
+    buckets = [[] for _ in range(ndev)]
+    loads = np.zeros(ndev, np.int64)
+    for gi in order:
+        d = int(np.argmin(loads))
+        buckets[d].append(int(gi))
+        loads[d] += sizes[gi]
+
+    shard_flats, shard_gids = [], []
+    for d in range(ndev):
+        sub = SceneData()
+        sub.cameras = scene.cameras
+        sub.materials = scene.materials  # keep material ids aligned
+        shape_map = {}
+        for gi in buckets[d]:
+            inst = scene.instances[gi]
+            if inst.shape not in shape_map:
+                shape_map[inst.shape] = len(sub.shapes)
+                sub.shapes.append(scene.shapes[inst.shape])
+            from ..models.scene import InstanceData
+            sub.instances.append(InstanceData(
+                frame=np.asarray(inst.frame, np.float32),
+                shape=shape_map[inst.shape], material=inst.material))
+        shard_flats.append(compile_scene(sub))
+        shard_gids.append(np.asarray(buckets[d], np.int64)
+                          if buckets[d] else np.zeros(1, np.int64))
+
+    # pad every array to the max size across shards and stack [D, ...]
+    def stack(field_arrays):
+        mx = tuple(np.max([a.shape[i] for a in field_arrays])
+                   for i in range(field_arrays[0].ndim))
+        out = []
+        for a in field_arrays:
+            pads = [(0, m - s) for s, m in zip(a.shape, mx)]
+            out.append(np.pad(np.asarray(a), pads))
+        return jnp.asarray(np.stack(out))
+
+    stacked = jax.tree.map(lambda *xs: stack([np.asarray(x) for x in xs]),
+                           *shard_flats)
+    gids = stack(shard_gids).astype(jnp.int32)
+    # true (pre-padding) candidate counts per shard: padded rows are zeros
+    # and would alias (instance 0, element 0) without the validity mask
+    ncand = jnp.asarray([[int(f.cand_inst.shape[0])]
+                         for f in shard_flats], jnp.int32)
+    return stacked, gids, ncand
+
+
+def _local_deferred_intersect(flat: FlatScene, gids, ncand, ro, rd,
+                              kinds=None):
+    """Brute-force closest hit against THIS shard's candidates, eagerly
+    evaluated into a DeferredHit (all in the shard's local index space,
+    reported with global instance ids)."""
+    from ..trace.sceneval import (eval_color, eval_element_normal,
+                                  eval_normal, eval_position, eval_texcoord)
+    n = ro.shape[0]
+    inv = flat.inst_inv_frame[flat.cand_inst]
+    verts = flat.elements[flat.cand_elem]
+    p = flat.positions[verts]
+    rads = flat.radius[verts]
+    shape = flat.inst_shape[flat.cand_inst]
+    kind = flat.shape_kind[shape]
+    ncands = flat.cand_inst.shape[0]
+    valid = jnp.arange(ncands, dtype=jnp.int32) < ncand[0]
+
+    local_o = (ro[:, None, 0:1] * inv[None, :, 0, :]
+               + ro[:, None, 1:2] * inv[None, :, 1, :]
+               + ro[:, None, 2:3] * inv[None, :, 2, :]
+               + inv[None, :, 3, :])
+    local_d = (rd[:, None, 0:1] * inv[None, :, 0, :]
+               + rd[:, None, 1:2] * inv[None, :, 1, :]
+               + rd[:, None, 2:3] * inv[None, :, 2, :])
+    tmin_b = jnp.broadcast_to(RAY_EPS, local_o.shape[:-1])
+    tmax_b = jnp.broadcast_to(M.flt_max, local_o.shape[:-1])
+    hit, uv, dist = _intersect_element(
+        local_o, local_d, tmin_b, tmax_b, p[None], rads[None], kind[None],
+        kinds=kinds)
+    hit = hit & valid[None, :]
+    dist = jnp.where(hit, dist, M.flt_max)
+    best = jnp.argmin(dist, axis=-1)
+    bhit = jnp.take_along_axis(hit, best[:, None], axis=1)[:, 0]
+    buv = jnp.take_along_axis(uv, best[:, None, None], axis=1)[:, 0]
+    bdist = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
+    inst_l = flat.cand_inst[best]
+    gelem = flat.cand_elem[best]
+
+    position = eval_position(flat, inst_l, gelem, buv)
+    gnormal = eval_element_normal(flat, inst_l, gelem)
+    snormal = eval_normal(flat, inst_l, gelem, buv)
+    texcoord = eval_texcoord(flat, inst_l, gelem, buv)
+    color = eval_color(flat, inst_l, gelem, buv)
+    mat = flat.inst_material[inst_l]
+    gid = gids[jnp.clip(inst_l, 0, gids.shape[0] - 1)]
+    return DeferredHit(
+        dist=jnp.where(bhit, bdist, M.flt_max),
+        inst=jnp.where(bhit, gid, -1),
+        material=jnp.where(bhit, mat, 0),
+        position=jnp.where(bhit[:, None], position, 0.0),
+        gnormal=jnp.where(bhit[:, None], gnormal, 0.0),
+        snormal=jnp.where(bhit[:, None], snormal, 0.0),
+        texcoord=jnp.where(bhit[:, None], texcoord, 0.0),
+        color=jnp.where(bhit[:, None], color, 1.0))
+
+
+def make_sharded_intersector(mesh: Mesh, stacked_flat, gids, ncand,
+                             kinds=None, axis: str = "tiles"):
+    """Returns intersect(ro, rd) -> DeferredHit over the mesh.
+
+    `ro`/`rd` are [R,3] with R divisible by the mesh size; rays and their
+    running best hit ride the ring via ppermute while the geometry stays
+    put. The result lands back on each ray's home device.
+    """
+    ndev = mesh.devices.size
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local(flat_slice, gids_slice, ncand_slice, ro, rd):
+        return _local_deferred_intersect(flat_slice, gids_slice,
+                                         ncand_slice, ro, rd, kinds=kinds)
+
+    def ring(flat_slice, gids_slice, ncand_slice, ro, rd):
+        # shard_map slices carry a leading [1, ...] device axis
+        flat_slice = jax.tree.map(lambda a: a[0], flat_slice)
+        gids_slice = gids_slice[0]
+        ncand_slice = ncand_slice[0]
+        best = _miss_hit(ro.shape[0])
+        for _ in range(ndev):
+            mine = local(flat_slice, gids_slice, ncand_slice, ro, rd)
+            best = _merge(best, mine)
+            if ndev > 1:
+                ro = jax.lax.ppermute(ro, axis, perm)
+                rd = jax.lax.ppermute(rd, axis, perm)
+                best = jax.tree.map(
+                    lambda a: jax.lax.ppermute(a, axis, perm), best)
+        return best
+
+    sharded = P(axis)
+    rep_scene = jax.tree.map(lambda _: P(axis), stacked_flat)
+
+    fn = jax.jit(shard_map(
+        ring, mesh=mesh,
+        in_specs=(rep_scene, P(axis), P(axis), sharded, sharded),
+        out_specs=jax.tree.map(lambda _: sharded, _miss_hit(1)),
+        check_rep=False))
+
+    def intersect(ro, rd):
+        return fn(stacked_flat, gids, ncand, ro, rd)
+
+    return intersect
