@@ -7,12 +7,16 @@ plain env vars are too late; use jax.config.update before any backend use.
 
 import os
 
+_backend = os.environ.get("YOCTO_TPU_TESTS_BACKEND", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if (_backend == "cpu"
+        and "xla_force_host_platform_device_count" not in flags):
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if _backend == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")

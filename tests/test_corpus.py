@@ -1,0 +1,67 @@
+"""Reference-corpus parity: render the reference's own test scenes and
+compare against freshly-generated reference goldens.
+
+Goldens in tests/goldens/corpus/ were rendered with the reference binary
+built from /root/reference (cmake Release, EMBREE/DENOISE/CUDA off) at
+320 res, 64 spp, 8 bounces, default seed:
+
+    ytrace --scene tests/<s>/<s>.json --output <s>-320-64.hdr \
+           --resolution 320 --samples 64 --bounces 8
+
+(The repo's shipped tests/_renderings/*-dev.hdr files are STALE relative
+to the current scene corpus — the reference binary itself renders
+features1 ~1.35x brighter than its shipped golden — so fresh goldens are
+the correct target.)
+
+At 64 spp with independent RNG streams the expected per-pixel residual is
+Monte-Carlo noise; the reference's own seed-to-seed noise floor measured
+on features1 is mean|d| = 0.0587 with 20% of pixels above 25% relative.
+The thresholds below are ~1.3x that floor: they fail on systematic bias,
+not on noise.
+
+These renders take minutes per scene on the 1-core CPU backend, so the
+suite runs them only when RUN_SLOW_TESTS=1 (the TPU driver exercises them
+through bench/corpus scripts).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from yocto_tpu.io.imageio import load_image
+from yocto_tpu.io.sceneio import load_scene
+from yocto_tpu.models.tesselate import tesselate_subdivs
+from yocto_tpu.trace.params import SamplerType, TraceParams
+
+CORPUS = os.path.join(os.path.dirname(__file__), "goldens", "corpus")
+REF_TESTS = "/root/reference/tests"
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="corpus renders take minutes on the 1-core CPU backend; "
+           "set RUN_SLOW_TESTS=1 (they run on TPU via bench/corpus jobs)")
+
+
+@pytest.mark.parametrize("name,mean_tol,frac_tol", [
+    ("features1", 0.08, 0.27),
+    ("materials1", 0.08, 0.27),
+    ("materials2", 0.10, 0.30),   # rough metals: higher-variance speculars
+    ("materials4", 0.08, 0.27),
+    ("shapes1", 0.08, 0.27),
+])
+def test_corpus_scene(name, mean_tol, frac_tol):
+    golden, _ = load_image(os.path.join(CORPUS, f"{name}-320-64.hdr"))
+    golden = golden[..., :3]
+    scene = load_scene(os.path.join(REF_TESTS, name, f"{name}.json"))
+    tesselate_subdivs(scene)
+    params = TraceParams(resolution=320, samples=64, bounces=8,
+                         sampler=SamplerType.path, spp_batch=4)
+    from yocto_tpu.trace.wavefront import WavefrontRenderer
+    r = WavefrontRenderer(scene, params)
+    img = np.asarray(r.render().image)[..., :3]
+    assert img.shape == golden.shape
+    d = np.abs(img - golden)
+    rel = d / (np.abs(golden) + 0.05)
+    assert d.mean() < mean_tol, f"mean diff {d.mean()}"
+    assert (rel.max(-1) > 0.25).mean() < frac_tol

@@ -113,8 +113,13 @@ def main(argv=None):
             base, ext = os.path.splitext(args.output)
             batchname = f"{base}-s{sample + params.batch}{ext}"
             save_image(batchname, get_image(state), linear=True)
+    image = get_image(state)
+    if params.denoise:
+        from ..trace.denoise import denoise_state
+        with SimpleTimer("denoise image"):
+            image = denoise_state(state)
     with SimpleTimer("save image"):
-        save_image(args.output, get_image(state), linear=True)
+        save_image(args.output, image, linear=True)
     return 0
 
 
