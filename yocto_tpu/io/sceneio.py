@@ -528,3 +528,48 @@ def save_trace_params(path: str, params) -> None:
         doc[key] = val
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
+
+
+# ----------------------------------------------------------------------------
+# File watcher (yocto_sceneio.h:323-341: threaded mtime polling)
+# ----------------------------------------------------------------------------
+
+class WatchContext:
+    """Polls file mtimes on a worker thread; `version` bumps on change."""
+
+    def __init__(self, filenames, delay_ms: int = 500):
+        import threading
+        self.filenames = list(filenames)
+        self.delay = delay_ms / 1000.0
+        self.version = 0
+        self._stop = False
+        self._mtimes = [self._mtime(f) for f in self.filenames]
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _mtime(path):
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return -1.0
+
+
+    def _loop(self):
+        import time as _time
+        while not self._stop:
+            now = [self._mtime(f) for f in self.filenames]
+            if now != self._mtimes:
+                self._mtimes = now
+                self.version += 1
+            _time.sleep(self.delay)
+
+
+def watch_start(context: WatchContext) -> None:
+    context._stop = False
+    context._thread.start()
+
+
+def watch_stop(context: WatchContext) -> None:
+    context._stop = True
+    if context._thread.is_alive():
+        context._thread.join()

@@ -220,3 +220,140 @@ def quads_to_triangles(quads: np.ndarray) -> np.ndarray:
 def triangles_to_quads(triangles: np.ndarray) -> np.ndarray:
     return np.concatenate(
         [triangles, triangles[:, 2:3]], axis=1).astype(np.int32)
+
+
+# ----------------------------------------------------------------------------
+# Skinning (yocto_shape.h:333-349)
+# ----------------------------------------------------------------------------
+
+def skin_vertices(positions, normals, weights, joints, xforms):
+    """Frame-based linear-blend skinning (yocto_shape.cpp:1597-1618):
+    blends TRANSFORMED points/directions by weight. `xforms`: [J,4,3]
+    frames (rows X,Y,Z,O)."""
+    positions = np.asarray(positions, np.float32)
+    normals = np.asarray(normals, np.float32)
+    weights = np.asarray(weights, np.float32)
+    joints = np.asarray(joints, np.int64)
+    xforms = np.asarray(xforms, np.float32)
+
+    def tp(frame, p):  # transform_point, batched
+        return p @ frame[:3] + frame[3]
+
+    def td(frame, d):
+        return _normalize_rows(d @ frame[:3])
+
+    sp = np.zeros_like(positions)
+    sn = np.zeros_like(normals)
+    for k in range(4):
+        fr = xforms[joints[:, k]]              # [N,4,3]
+        w = weights[:, k:k + 1]
+        sp += (np.einsum("nij,nj->ni", fr[:, :3].transpose(0, 2, 1),
+                         positions) + fr[:, 3]) * w
+        sn += _normalize_rows(np.einsum(
+            "nij,nj->ni", fr[:, :3].transpose(0, 2, 1), normals)) * w
+    return sp, _normalize_rows(sn)
+
+
+def skin_matrices(positions, normals, weights, joints, xforms):
+    """glTF matrix skinning (yocto_shape.cpp:1620-1634): blends the
+    MATRICES, then transforms. `xforms`: [J,4,4] row-major matrices."""
+    positions = np.asarray(positions, np.float32)
+    normals = np.asarray(normals, np.float32)
+    weights = np.asarray(weights, np.float32)
+    joints = np.asarray(joints, np.int64)
+    xforms = np.asarray(xforms, np.float32)
+    blend = np.einsum("nk,nkij->nij",
+                      weights, xforms[joints])   # [N,4,4]
+    sp = np.einsum("nij,nj->ni", blend[:, :3, :3], positions) \
+        + blend[:, :3, 3]
+    sn = _normalize_rows(
+        np.einsum("nij,nj->ni", blend[:, :3, :3], normals))
+    return sp, sn
+
+
+# ----------------------------------------------------------------------------
+# Hash grid KNN (yocto_shape.h:570-586)
+# ----------------------------------------------------------------------------
+
+class HashGrid:
+    """Spatial hash over cells of `cell_size` (yocto_shape.h:570-575)."""
+
+    def __init__(self, cell_size: float):
+        self.cell_size = float(cell_size)
+        self.cell_inv_size = 1.0 / float(cell_size)
+        self.positions = []
+        self.cells = {}
+
+    def _cell(self, position):
+        p = np.floor(np.asarray(position, np.float64)
+                     * self.cell_inv_size).astype(np.int64)
+        return (int(p[0]), int(p[1]), int(p[2]))
+
+
+def make_hash_grid(positions=None, cell_size: float = 0.01) -> HashGrid:
+    grid = HashGrid(cell_size)
+    if positions is not None:
+        for p in np.asarray(positions, np.float32):
+            insert_vertex(grid, p)
+    return grid
+
+
+def insert_vertex(grid: HashGrid, position) -> int:
+    vid = len(grid.positions)
+    grid.positions.append(np.asarray(position, np.float32))
+    grid.cells.setdefault(grid._cell(position), []).append(vid)
+    return vid
+
+
+def find_neighbors(grid: HashGrid, position, max_radius: float,
+                   skip_id: int = -1) -> list:
+    """Vertex ids within `max_radius`, scanning the 3^3 cell neighborhood
+    (yocto_shape.cpp find_neighbors semantics; insertion order)."""
+    cx, cy, cz = grid._cell(position)
+    reach = int(np.ceil(max_radius * grid.cell_inv_size))
+    pos = np.asarray(position, np.float32)
+    out = []
+    r2 = max_radius * max_radius
+    for dx in range(-reach, reach + 1):
+        for dy in range(-reach, reach + 1):
+            for dz in range(-reach, reach + 1):
+                for vid in grid.cells.get((cx + dx, cy + dy, cz + dz), ()):
+                    if vid == skip_id:
+                        continue
+                    d = grid.positions[vid] - pos
+                    if float(d @ d) <= r2:
+                        out.append(vid)
+    return sorted(out)
+
+
+# ----------------------------------------------------------------------------
+# Vertex welding (yocto_shape.h:612-618)
+# ----------------------------------------------------------------------------
+
+def weld_vertices(positions, threshold: float):
+    """-> (welded_positions, index_map); first-inserted neighbor wins
+    (yocto_shape.cpp:2619-2637)."""
+    positions = np.asarray(positions, np.float32)
+    grid = make_hash_grid(cell_size=threshold)
+    welded = []
+    indices = np.zeros(len(positions), np.int32)
+    for v, p in enumerate(positions):
+        neigh = find_neighbors(grid, p, threshold)
+        if not neigh:
+            welded.append(p)
+            indices[v] = len(welded) - 1
+            insert_vertex(grid, p)
+        else:
+            indices[v] = neigh[0]
+    return (np.asarray(welded, np.float32).reshape(-1, 3),
+            indices)
+
+
+def weld_triangles(triangles, positions, threshold: float):
+    wpos, idx = weld_vertices(positions, threshold)
+    return idx[np.asarray(triangles, np.int64)].astype(np.int32), wpos
+
+
+def weld_quads(quads, positions, threshold: float):
+    wpos, idx = weld_vertices(positions, threshold)
+    return idx[np.asarray(quads, np.int64)].astype(np.int32), wpos
