@@ -54,6 +54,12 @@ def build_parser():
     cli.add_argument("--dumpparams", default="")
     cli.add_argument("--bruteforce", action="store_true",
                      help="skip the BVH (debug)")
+    cli.add_argument("--wavefront", choices=["auto", "on", "off"],
+                     default="auto",
+                     help="compacted wavefront pipeline (auto: on for "
+                          "path-sampler scenes above 4096 elements)")
+    cli.add_argument("--sppbatch", type=int, default=0,
+                     help="samples per device step (wavefront; 0 = auto)")
     return cli
 
 
@@ -101,17 +107,37 @@ def main(argv=None):
 
     from ..trace.renderer import Renderer, get_image
 
+    n_cands = sum(
+        max(len(scene.shapes[i.shape].points),
+            len(scene.shapes[i.shape].lines),
+            len(scene.shapes[i.shape].triangles),
+            len(scene.shapes[i.shape].quads))
+        for i in scene.instances if 0 <= i.shape < len(scene.shapes))
+    from ..trace.params import SamplerType as _ST
+    wf_auto = (params.sampler in (_ST.path, _ST.pathtest)
+               and n_cands > 4096 and not params.nocaustics)
+    use_wavefront = (args.wavefront == "on"
+                     or (args.wavefront == "auto" and wf_auto))
     with SimpleTimer("build renderer"):
-        renderer = Renderer(scene, params)
+        if use_wavefront:
+            import dataclasses
+            from ..trace.wavefront import WavefrontRenderer
+            spp = args.sppbatch or max(params.batch, 4)
+            renderer = WavefrontRenderer(
+                scene, dataclasses.replace(params, spp_batch=spp))
+        else:
+            renderer = Renderer(scene, params)
     state = renderer.make_state()
-    for sample in range(0, params.samples, max(params.batch, 1)):
+    while int(state.samples) < params.samples:
+        done = int(state.samples)
         with SimpleTimer(
-                f"render sample {sample}/{params.samples}"):
-            for _ in range(min(params.batch, params.samples - sample)):
+                f"render sample {done}/{params.samples}"):
+            target = min(done + max(params.batch, 1), params.samples)
+            while int(state.samples) < target:
                 state = renderer.sample(state)
         if args.savebatch:
             base, ext = os.path.splitext(args.output)
-            batchname = f"{base}-s{sample + params.batch}{ext}"
+            batchname = f"{base}-s{int(state.samples)}{ext}"
             save_image(batchname, get_image(state), linear=True)
     image = get_image(state)
     if params.denoise:

@@ -514,8 +514,10 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
 
 def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
                           meta: LightsMeta, params: TraceParams,
-                          intersect_fn, features=None):
-    """`trace_eyelight` (yocto_trace.cpp:1111-1176)."""
+                          intersect_fn, features=None, diagram=False):
+    """`trace_eyelight` (yocto_trace.cpp:1111-1176); with `diagram=True`
+    this is `trace_diagram` (yocto_trace.cpp:1178-1244): misses shade
+    flat white and count as hits."""
     from .compile import ALL_FEATURES
 
     feat = features if features is not None else ALL_FEATURES
@@ -531,7 +533,13 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
         isec = intersect_fn(scene, st.ro, st.rd)
         act = st.alive
         miss = act & ~isec.hit
-        if has_env:
+        if diagram:
+            # trace_diagram: misses are flat white and count as hits
+            st = st._replace(
+                radiance=_where3(miss, st.radiance + st.weight,
+                                 st.radiance),
+                hit=st.hit | miss)
+        elif has_env:
             env_ok = miss & ((st.bounce > 0) | (not envhidden))
             env = eval_environment(scene, st.rd)
             st = st._replace(radiance=_where3(
@@ -1426,6 +1434,13 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
     return run
 
 
+def make_diagram_sampler(scene, lights, meta, params, intersect_fn,
+                         features=None):
+    """`trace_diagram` (yocto_trace.cpp:1178-1244)."""
+    return make_eyelight_sampler(scene, lights, meta, params, intersect_fn,
+                                 features=features, diagram=True)
+
+
 SAMPLER_BUILDERS = {
     SamplerType.path: make_path_sampler,
     SamplerType.pathdirect: make_pathdirect_sampler,
@@ -1433,6 +1448,7 @@ SAMPLER_BUILDERS = {
     SamplerType.pathtest: make_path_sampler,
     SamplerType.naive: make_naive_sampler,
     SamplerType.eyelight: make_eyelight_sampler,
+    SamplerType.diagram: make_diagram_sampler,
     SamplerType.falsecolor: make_falsecolor_sampler,
     SamplerType.furnace: make_furnace_sampler,
 }
