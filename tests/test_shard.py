@@ -82,3 +82,21 @@ def test_sharded_intersect_matches_replicated():
     np.testing.assert_allclose(np.asarray(hit.color)[h], col[h],
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(hit.material)[h], mat[h])
+
+
+def test_sharded_eyelight_matches_lockstep():
+    """DP tiles x TP shards end-to-end: sharded eyelight must equal the
+    single-device eyelight render (same camera RNG streams; Cornell has
+    no delta materials, so one bounce is the full estimator)."""
+    from yocto_tpu.parallel.shard import ShardedRenderer
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.renderer import Renderer, get_image
+
+    scene = make_cornellbox()
+    params = TraceParams(resolution=32, samples=2, bounces=4,
+                         sampler=SamplerType.eyelight)
+    ref = get_image(Renderer(scene, params).render())
+    sr = ShardedRenderer(scene, params, mesh=make_tile_mesh())
+    img = sr.render_eyelight()
+    assert img.shape == ref.shape
+    np.testing.assert_allclose(img[..., :3], ref[..., :3], atol=2e-5)

@@ -235,3 +235,107 @@ def make_sharded_intersector(mesh: Mesh, stacked_flat, gids, ncand,
         return fn(stacked_flat, gids, ncand, ro, rd)
 
     return intersect
+
+
+class ShardedRenderer:
+    """End-to-end instance-sharded rendering: DP (pixel tiles) x TP
+    (geometry shards) composed on one mesh axis.
+
+    Camera rays are generated tile-sharded; every bounce's intersection
+    runs the ppermute ring over the geometry shards; shading consumes the
+    deferred hit records against the replicated material/texture tables.
+    v1 ships the eyelight estimator (emission + pi * bsdf(outgoing,
+    outgoing), single bounce — exact for non-delta scenes); the full
+    wavefront path estimator composes with the same intersector.
+
+    Note: for the bistro-class deployment the shading tables would be a
+    stripped FlatScene (materials/textures only); here the full compile is
+    reused since the demo scenes are small.
+    """
+
+    def __init__(self, scene: SceneData, params, mesh: Mesh = None):
+        from ..trace.compile import scene_features
+        from ..trace.lights import make_trace_lights
+        from ..trace.renderer import render_size
+
+        self.mesh = mesh if mesh is not None else _default_mesh()
+        self.params = params
+        self.scene_host = scene
+        ndev = self.mesh.devices.size
+        self.features = scene_features(scene)
+        stacked, gids, ncand = shard_scene(scene, ndev)
+        self.intersect = make_sharded_intersector(
+            self.mesh, stacked, gids, ncand, kinds=self.features.kinds)
+        self.shade_flat = compile_scene(scene)
+        self.width, self.height = render_size(scene, params)
+        n = self.width * self.height
+        if n % ndev != 0:
+            raise ValueError(f"pixel count {n} must divide the mesh "
+                             f"size {ndev}")
+
+    def render_eyelight(self, nsamples: int = None) -> np.ndarray:
+        """Tile+instance-sharded eyelight render -> [H,W,4] numpy."""
+        import jax
+        from ..ops import rng as R
+        from ..ops import sampling as SMP
+        from ..trace import bsdf as B
+        from ..trace.renderer import sample_camera_rays
+        from ..trace.sceneval import eval_material_deferred
+        from ..models.scene import MaterialType
+
+        params = self.params
+        nsamples = nsamples if nsamples is not None else params.samples
+        width, height = self.width, self.height
+        n = width * height
+        flat = self.shade_flat
+        feats = self.features
+        types = feats.mat_types
+        sharding = NamedSharding(self.mesh, P("tiles"))
+
+        @jax.jit
+        def shade(hit: DeferredHit, rd, weight):
+            outgoing = -rd
+            mat = eval_material_deferred(flat, hit.material, hit.texcoord,
+                                         hit.color, features=feats)
+            normal = hit.snormal
+            if int(MaterialType.refractive) in types:
+                refr = hit.material >= 0  # refined below
+                is_refr = (flat.mat_type[hit.material]
+                           == int(MaterialType.refractive))
+                flip = (M.dot(normal, outgoing) < 0.0) & ~is_refr
+            else:
+                flip = M.dot(normal, outgoing) < 0.0
+            normal = jnp.where(flip[:, None], -normal, normal)
+            ok = hit.inst >= 0
+            emis = B.eval_emission(mat, normal, outgoing)
+            fcos = B.eval_bsdfcos(mat, normal, outgoing, outgoing,
+                                  types=types)
+            radiance = jnp.where(ok[:, None],
+                                 weight * (emis + M.pif * fcos), 0.0)
+            return radiance, ok
+
+        image = jnp.zeros((n, 4), jnp.float32)
+        rngs = R.make_pixel_seeds(n, params.seed)
+        rngs = jax.device_put(rngs, jax.tree.map(lambda _: sharding, rngs))
+        for s in range(nsamples):
+            ro, rd, rngs = sample_camera_rays(
+                flat, params.camera, width, height, rngs,
+                params.tentfilter)
+            hit = self.intersect(ro, rd)
+            radiance, ok = shade(hit, rd, jnp.ones((n, 3), jnp.float32))
+            # per-sample clamp + NaN scrub (yocto_trace.cpp:1471-1475)
+            finite = M.isfinite3(radiance)[:, None]
+            radiance = jnp.where(finite, radiance, 0.0)
+            mx = M.maxc(radiance)
+            scale = jnp.where(mx > params.clamp,
+                              params.clamp / jnp.maximum(mx, 1e-20), 1.0)
+            radiance = radiance * scale[:, None]
+            sample_img = jnp.concatenate(
+                [radiance, ok[:, None].astype(jnp.float32)], axis=1)
+            image = image + (sample_img - image) / (s + 1)
+        return np.asarray(image).reshape(height, width, 4)
+
+
+def _default_mesh() -> Mesh:
+    import jax
+    return Mesh(np.asarray(jax.devices()), axis_names=("tiles",))

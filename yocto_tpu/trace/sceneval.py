@@ -433,3 +433,90 @@ def eval_environment(scene: FlatScene, direction):
             scene, tex_id, texcoord, as_linear=False)[..., :3]
         total = total + emission
     return total
+
+
+def eval_material_deferred(scene: FlatScene, mat, texcoord, color_shp,
+                           features=None) -> MaterialPoint:
+    """Material point from a deferred hit record (material id + texcoord +
+    vertex color carried with the ray) instead of instance/element gathers
+    — the shading path of the instance-sharded renderer, where the winning
+    hit's geometry lives on another device but materials/textures are
+    replicated. Identical arithmetic to eval_material."""
+    f = features
+
+    def tex(slot_has, tex_ids, as_linear):
+        if f is not None and not slot_has:
+            return None
+        return eval_texture(scene, tex_ids, texcoord, as_linear=as_linear)
+
+    emission_tex = tex(f is None or f.has_emission_tex,
+                       scene.mat_emission_tex[mat], True)
+    color_tex = tex(f is None or f.has_color_tex,
+                    scene.mat_color_tex[mat], True)
+    roughness_tex = tex(f is None or f.has_roughness_tex,
+                        scene.mat_roughness_tex[mat], False)
+    scattering_tex = tex(f is None or f.has_scattering_tex,
+                         scene.mat_scattering_tex[mat], True)
+    if f is not None and not f.has_shape_colors:
+        color_shp = None
+
+    def mul3(base, *factors):
+        out = base
+        for fac in factors:
+            if fac is not None:
+                out = out * fac[..., :3]
+        return out
+
+    def mul1(base, *factors):
+        out = base
+        for fac in factors:
+            if fac is not None:
+                out = out * fac[..., 3]
+        return out
+
+    mtype = scene.mat_type[mat]
+    n = mat.shape[0]
+    emission = jnp.broadcast_to(
+        mul3(scene.mat_emission[mat], emission_tex, color_shp), (n, 3))
+    color = jnp.broadcast_to(
+        mul3(scene.mat_color[mat], color_tex, color_shp), (n, 3))
+    opacity = jnp.broadcast_to(
+        mul1(scene.mat_opacity[mat], color_tex, color_shp), (n,))
+    metallic = jnp.broadcast_to(scene.mat_metallic[mat] * (
+        roughness_tex[..., 2] if roughness_tex is not None else 1.0), (n,))
+    roughness = scene.mat_roughness[mat] * (
+        roughness_tex[..., 1] if roughness_tex is not None else 1.0)
+    roughness = jnp.broadcast_to(roughness * roughness, (n,))
+    ior = scene.mat_ior[mat]
+    scattering = jnp.broadcast_to(
+        mul3(scene.mat_scattering[mat], scattering_tex), (n, 3))
+    scanisotropy = scene.mat_scanisotropy[mat]
+    trdepth = scene.mat_trdepth[mat]
+
+    mat_types = tuple(range(8)) if f is None else f.mat_types
+    volumetric_types = (
+        (mtype == int(MaterialType.refractive))
+        | (mtype == int(MaterialType.volumetric))
+        | (mtype == int(MaterialType.subsurface)))
+    if any(t in mat_types for t in (int(MaterialType.refractive),
+                                    int(MaterialType.volumetric),
+                                    int(MaterialType.subsurface))):
+        density = jnp.where(
+            volumetric_types[..., None],
+            -jnp.log(jnp.clip(color, 0.0001, 1.0)) / trdepth[..., None],
+            0.0)
+    else:
+        density = jnp.zeros_like(color)
+
+    clamped_types = ((mtype == int(MaterialType.matte))
+                     | (mtype == int(MaterialType.gltfpbr))
+                     | (mtype == int(MaterialType.glossy)))
+    roughness = jnp.where(
+        clamped_types, jnp.clip(roughness, MIN_ROUGHNESS, 1.0),
+        jnp.where(mtype == int(MaterialType.volumetric), 0.0,
+                  jnp.where(roughness < MIN_ROUGHNESS, 0.0, roughness)))
+
+    return MaterialPoint(
+        type=mtype, emission=emission, color=color, opacity=opacity,
+        roughness=roughness, metallic=metallic, ior=ior, density=density,
+        scattering=scattering, scanisotropy=scanisotropy, trdepth=trdepth)
