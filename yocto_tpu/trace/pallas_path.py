@@ -1,0 +1,476 @@
+"""Fused Pallas path-tracing megakernel for small matte scenes.
+
+For Cornell-class scenes (<=512 elements, matte-only materials, no
+textures/vertex attributes, area lights, no environment) the entire
+8-bounce `trace_path` estimator runs in ONE kernel: rays, PCG32 state,
+weights, and radiance live in vector registers; candidates, materials,
+and light geometry are compile-time immediates. The only HBM traffic is
+camera rays + RNG in, radiance + AOVs + RNG out — against ~50 separate
+XLA kernels per bounce for the lockstep sampler. This is the
+speed-of-light configuration of SURVEY.md §7 step 6 for the benchmark
+workload (BASELINE.json config 1/2).
+
+Semantics: the same draw sites in the same order as the lockstep path
+sampler specialized to matte scenes (r_choice, rn2, rnl, ruv, rel, rl,
+r_rr per bounce, all mask-guarded), the same closest-hit rule, the same
+MIS weights and Russian roulette — so per-pixel streams continue the
+lockstep state exactly. The one intentional deviation: the shading point
+is origin + t*direction rather than barycentric interpolation (equal
+geometrically, a few ulps apart), so images match the lockstep renderer
+to float precision rather than bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import MaterialType, SceneData
+from ..ops import mathops as M
+from ..ops import rng as R
+from .compile import SceneFeatures
+from .intersect import RAY_EPS
+from .pallas_intersect import _host_candidates, _tri_isect
+
+LANE = 128
+ROWS = 64  # ray rows per grid program
+
+
+def supports_pallas_path(scene: SceneData, features: SceneFeatures,
+                         params) -> bool:
+    """Host-side qualification for the fused kernel."""
+    from .params import SamplerType
+    if params.sampler not in (SamplerType.path, SamplerType.pathtest):
+        return False
+    if params.nocaustics or params.tentfilter:
+        return False
+    if tuple(features.mat_types) != (int(MaterialType.matte),):
+        return False
+    if (features.has_volumes or features.has_opacity or features.has_delta
+            or features.has_emission_tex or features.has_color_tex
+            or features.has_roughness_tex or features.has_scattering_tex
+            or features.has_normal_tex or features.has_shape_colors):
+        return False
+    if any(k not in (2, 3) for k in features.kinds):
+        return False
+    if scene.environments:
+        return False
+    ncand = 0
+    for inst in scene.instances:
+        shape = scene.shapes[inst.shape]
+        if len(shape.normals):   # vertex normals need interp carry
+            return False
+        ncand += max(len(shape.triangles), len(shape.quads))
+    if ncand == 0 or ncand > 512:
+        return False
+    # light inventory: emissive instances with tri/quad geometry
+    nlights = 0
+    for inst in scene.instances:
+        mat = scene.materials[inst.material]
+        if np.any(np.asarray(mat.emission) != 0):
+            shape = scene.shapes[inst.shape]
+            ne = max(len(shape.triangles), len(shape.quads))
+            if ne == 0 or ne > 8:
+                return False
+            nlights += 1
+    return 1 <= nlights <= 4
+
+
+def _element_normal_world(corners):
+    """eval_element_normal arithmetic on one element's world corners."""
+    p0, p1, p2, p3 = [np.asarray(c, np.float64) for c in corners]
+
+    def nrm(v):
+        n = np.linalg.norm(v)
+        return v / n if n != 0 else v
+
+    n_a = nrm(np.cross(p1 - p0, p3 - p0))
+    n_b = nrm(np.cross(p3 - p2, p1 - p2))
+    return nrm(n_a + n_b).astype(np.float32)
+
+
+def _host_scene_tables(scene: SceneData):
+    """Baked per-candidate shading data + light tables (world space)."""
+    cands = _host_candidates(scene)
+    # world corners + per-candidate normal/color/emission
+    for c in cands:
+        inst = scene.instances[c["inst"]]
+        frame = np.asarray(inst.frame, np.float32)
+        world = [list(np.asarray(p, np.float32) @ frame[:3] + frame[3])
+                 for p in c["p"]]
+        c["pw"] = world
+        c["normal"] = [float(x) for x in _element_normal_world(world)]
+        mat = scene.materials[inst.material]
+        c["color"] = [float(x) for x in np.asarray(mat.color, np.float32)]
+        c["emission"] = [float(x)
+                         for x in np.asarray(mat.emission, np.float32)]
+        # identity instances keep inv=None from _host_candidates; general
+        # frames were already handled there
+
+    lights = []
+    for gi, inst in enumerate(scene.instances):
+        mat = scene.materials[inst.material]
+        if not np.any(np.asarray(mat.emission) != 0):
+            continue
+        shape = scene.shapes[inst.shape]
+        frame = np.asarray(inst.frame, np.float32)
+        if len(shape.triangles):
+            tris = np.asarray(shape.triangles, np.int64)
+            verts = np.concatenate([tris, tris[:, 2:3]], 1)
+            is_tri = True
+        else:
+            verts = np.asarray(shape.quads, np.int64)
+            is_tri = False
+        pos = np.asarray(shape.positions, np.float32)
+        elems = []
+        areas = []
+        for row in verts:
+            corners = [list(pos[v] @ frame[:3] + frame[3]) for v in row]
+            p0, p1, p2, p3 = [np.asarray(c, np.float64) for c in corners]
+            if is_tri:
+                area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p3 - p0))
+            else:
+                area = (0.5 * np.linalg.norm(np.cross(p1 - p0, p3 - p0))
+                        + 0.5 * np.linalg.norm(np.cross(p3 - p2, p1 - p2)))
+            areas.append(float(area))
+            elems.append({
+                "pw": corners,
+                "normal": [float(x) for x in _element_normal_world(corners)],
+            })
+        cdf = np.cumsum(areas, dtype=np.float64)
+        lights.append({
+            "is_tri": is_tri, "elems": elems,
+            "cdf": [float(x) for x in cdf],
+            "area_total": float(cdf[-1]),
+        })
+    return cands, lights
+
+
+def _interp_quad(c, u, v):
+    """sceneval._interp split-quad interpolation on baked corners."""
+    p0, p1, p2, p3 = c["pw"]
+    lower = (u + v) <= 1.0
+    out = []
+    iu, iv = 1.0 - u, 1.0 - v
+    for a in range(3):
+        tri_a = p0[a] * (1.0 - u - v) + p1[a] * u + p3[a] * v
+        tri_b = p2[a] * (1.0 - iu - iv) + p3[a] * iu + p1[a] * iv
+        out.append(jnp.where(lower, tri_a, tri_b))
+    return out
+
+
+def _normalize3(x, y, z):
+    d = x * x + y * y + z * z
+    inv = 1.0 / jnp.sqrt(jnp.where(d == 0.0, 1.0, d))
+    inv = jnp.where(d == 0.0, 1.0, inv)
+    return x * inv, y * inv, z * inv
+
+
+def _cosine_dir(nx, ny, nz, r1, r2):
+    """sample_hemisphere_cos with the Pixar ONB (mathops.basis_fromz)."""
+    z = jnp.sqrt(r2)
+    r = jnp.sqrt(1.0 - z * z)
+    phi = 2.0 * M.pif * r1
+    lx = r * jnp.cos(phi)
+    ly = r * jnp.sin(phi)
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    bx0, bx1, bx2 = 1.0 + sign * nx * nx * a, sign * b, -sign * nx
+    by0, by1, by2 = b, sign + ny * ny * a, -ny
+    return (lx * bx0 + ly * by0 + z * nx,
+            lx * bx1 + ly * by1 + z * ny,
+            lx * bx2 + ly * by2 + z * nz)
+
+
+def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
+    """Returns run(ro, rd, rngs) -> (radiance, hit, albedo, normal, rngs)
+    matching the lockstep sampler interface, or None if unsupported."""
+    cands, lights = _host_scene_tables(scene)
+    nlights = len(lights)
+    bounces = int(params.bounces)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def closest_hit(rox, roy, roz, rdx, rdy, rdz):
+        """Baked-candidate sweep -> per-lane best hit + shading data."""
+        inf = M.flt_max
+        bt = jnp.full(rox.shape, inf, jnp.float32)
+        bhit = jnp.zeros(rox.shape, jnp.bool_)
+        attrs = {k: [jnp.zeros(rox.shape, jnp.float32) for _ in range(3)]
+                 for k in ("n", "col", "em")}
+        tmin = jnp.full(rox.shape, float(RAY_EPS), jnp.float32)
+        tmax = jnp.full(rox.shape, inf, jnp.float32)
+        for c in cands:
+            p = c["pw"]
+            h1, _, _, t1 = _tri_isect(
+                rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                p[0][0], p[0][1], p[0][2], p[1][0], p[1][1], p[1][2],
+                p[3][0], p[3][1], p[3][2])
+            if c["kind"] == 3 and not c["degenerate"]:
+                h2, _, _, t2 = _tri_isect(
+                    rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                    p[2][0], p[2][1], p[2][2], p[3][0], p[3][1], p[3][2],
+                    p[1][0], p[1][1], p[1][2])
+                t1m = jnp.where(h1, t1, inf)
+                t2m = jnp.where(h2, t2, inf)
+                hit = (h1 | h2)
+                t = jnp.minimum(t1m, t2m)
+            else:
+                hit = h1
+                t = jnp.where(h1, t1, inf)
+            better = t < bt
+            # boolean select via logical ops (Mosaic lacks i1 select)
+            bhit = (better & hit) | (~better & bhit)
+            bt = jnp.where(better, t, bt)
+            for key, src in (("n", c["normal"]), ("col", c["color"]),
+                             ("em", c["emission"])):
+                attrs[key] = [jnp.where(better, src[a], attrs[key][a])
+                              for a in range(3)]
+        return bhit, bt, attrs
+
+    def light_pdf(px, py, pz, dx, dy, dz):
+        """sample_lights_pdf all-hits sweep on baked light geometry."""
+        tmin = jnp.full(px.shape, float(RAY_EPS), jnp.float32)
+        tmax = jnp.full(px.shape, M.flt_max, jnp.float32)
+        pdf = jnp.zeros(px.shape, jnp.float32)
+        for li in lights:
+            area = li["area_total"]
+            lpdf = jnp.zeros(px.shape, jnp.float32)
+            for e in li["elems"]:
+                p = e["pw"]
+                h1, _, _, t1 = _tri_isect(
+                    px, py, pz, dx, dy, dz, tmin, tmax,
+                    p[0][0], p[0][1], p[0][2], p[1][0], p[1][1], p[1][2],
+                    p[3][0], p[3][1], p[3][2])
+                if not li["is_tri"]:
+                    h2, _, _, t2 = _tri_isect(
+                        px, py, pz, dx, dy, dz, tmin, tmax,
+                        p[2][0], p[2][1], p[2][2], p[3][0], p[3][1],
+                        p[3][2], p[1][0], p[1][1], p[1][2])
+                    hit = h1 | h2
+                    t = jnp.where(h1, t1, jnp.where(h2, t2, 0.0))
+                else:
+                    hit = h1
+                    t = jnp.where(h1, t1, 0.0)
+                nx, ny, nz = e["normal"]
+                denom = jnp.abs(nx * dx + ny * dy + nz * dz) * area
+                ok = hit & (denom != 0.0)
+                lpdf = lpdf + jnp.where(
+                    ok, t * t / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+            pdf = pdf + lpdf
+        return pdf / nlights
+
+    def sample_light_dir(px, py, pz, rl, rel, ru, rv):
+        """sample_lights on baked light tables (uniform light -> CDF
+        element -> point); returns a unit direction."""
+        lid = jnp.clip((rl * nlights).astype(jnp.int32), 0, nlights - 1)
+        lx = jnp.zeros(px.shape, jnp.float32)
+        ly = jnp.zeros(px.shape, jnp.float32)
+        lz = jnp.zeros(px.shape, jnp.float32)
+        for i, li in enumerate(lights):
+            cdf = li["cdf"]
+            total = li["area_total"]
+            target = rel * total
+            # unrolled upper_bound over the per-element CDF
+            eidx = jnp.zeros(px.shape, jnp.int32)
+            for k in range(len(cdf) - 1):
+                eidx = jnp.where(target >= cdf[k], k + 1, eidx)
+            if li["is_tri"]:
+                s = jnp.sqrt(ru)
+                u = 1.0 - s
+                v = rv * s
+            else:
+                u, v = ru, rv
+            ex = jnp.zeros(px.shape, jnp.float32)
+            ey = jnp.zeros(px.shape, jnp.float32)
+            ez = jnp.zeros(px.shape, jnp.float32)
+            for k, e in enumerate(li["elems"]):
+                qx, qy, qz = _interp_quad(e, u, v)
+                sel = eidx == k
+                ex = jnp.where(sel, qx, ex)
+                ey = jnp.where(sel, qy, ey)
+                ez = jnp.where(sel, qz, ez)
+            sel_l = lid == i
+            lx = jnp.where(sel_l, ex, lx)
+            ly = jnp.where(sel_l, ey, ly)
+            lz = jnp.where(sel_l, ez, lz)
+        return _normalize3(lx - px, ly - py, lz - pz)
+
+    def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+               sh_r, sl_r, ih_r, il_r,
+               rr_r, rg_r, rb_r, hit_r, ar_r, ag_r, ab_r,
+               nx_r, ny_r, nz_r, osh_r, osl_r):
+        rox, roy, roz = rox_r[:], roy_r[:], roz_r[:]
+        rdx, rdy, rdz = rdx_r[:], rdy_r[:], rdz_r[:]
+        rng = R.RngState(sh_r[:], sl_r[:], ih_r[:], il_r[:])
+        shape = rox.shape
+        wr = jnp.ones(shape, jnp.float32)
+        wg = jnp.ones(shape, jnp.float32)
+        wb = jnp.ones(shape, jnp.float32)
+        lr = jnp.zeros(shape, jnp.float32)
+        lg = jnp.zeros(shape, jnp.float32)
+        lb = jnp.zeros(shape, jnp.float32)
+        alive = jnp.ones(shape, jnp.bool_)
+        first_hit = jnp.zeros(shape, jnp.bool_)
+        aov = {k: jnp.zeros(shape, jnp.float32)
+               for k in ("ar", "ag", "ab", "nx", "ny", "nz")}
+
+        for bounce in range(bounces):
+            hit, t, attrs = closest_hit(rox, roy, roz, rdx, rdy, rdz)
+            shade = alive & hit
+            alive = shade
+
+            px = rox + rdx * t
+            py = roy + rdy * t
+            pz = roz + rdz * t
+            ox, oy, oz = -rdx, -rdy, -rdz
+            nx, ny, nz = attrs["n"]
+            # facing flip (eval_shading_normal, matte is never refractive)
+            ndo = nx * ox + ny * oy + nz * oz
+            flipn = ndo < 0.0
+            nx = jnp.where(flipn, -nx, nx)
+            ny = jnp.where(flipn, -ny, ny)
+            nz = jnp.where(flipn, -nz, nz)
+
+            if bounce == 0:
+                first_hit = shade
+                aov = dict(ar=attrs["col"][0], ag=attrs["col"][1],
+                           ab=attrs["col"][2], nx=nx, ny=ny, nz=nz)
+
+            # emission (facing test on the flipped normal like eval_emission)
+            facing = (nx * ox + ny * oy + nz * oz) >= 0.0
+            emit = shade & facing
+            lr = jnp.where(emit, lr + wr * attrs["em"][0], lr)
+            lg = jnp.where(emit, lg + wg * attrs["em"][1], lg)
+            lb = jnp.where(emit, lb + wb * attrs["em"][2], lb)
+
+            # next direction: 50/50 BSDF/light one-sample MIS
+            nd = shade  # matte is never delta
+            r_choice, rng = R.rand1f_if(rng, nd)
+            use_bsdf = r_choice < 0.5
+            rb1, rng = R.rand1f_if(rng, nd & use_bsdf)
+            rb2, rng = R.rand1f_if(rng, nd & use_bsdf)
+            rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
+            del rnl  # drawn for stream parity; matte ignores the lobe rand
+            bx, by, bz = _cosine_dir(nx, ny, nz, rb1, rb2)
+            ru, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            rv, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+            gx, gy, gz = sample_light_dir(px, py, pz, rl, rel, ru, rv)
+            ix = jnp.where(use_bsdf, bx, gx)
+            iy = jnp.where(use_bsdf, by, gy)
+            iz = jnp.where(use_bsdf, bz, gz)
+
+            zero_inc = (ix == 0.0) & (iy == 0.0) & (iz == 0.0)
+            alive = alive & ~(nd & zero_inc)
+
+            ndi = nx * ix + ny * iy + nz * iz
+            ndo2 = nx * ox + ny * oy + nz * oz
+            valid = (ndi * ndo2) > 0.0
+            absndi = jnp.abs(ndi)
+            # f = color/pi * |n.i| (eval_matte); pdf_b = cos/pi
+            # (sample_matte_pdf with up_normal == flipped normal)
+            pdf_b = jnp.where(valid & (ndi > 0.0), ndi / M.pif, 0.0)
+            pdf_l = light_pdf(px, py, pz, ix, iy, iz)
+            pdf = 0.5 * pdf_b + 0.5 * pdf_l
+            safe = jnp.where(pdf == 0.0, 1.0, pdf)
+            fw = jnp.where(valid, absndi / M.pif, 0.0) / safe
+            ok = nd & ~zero_inc
+            wr = jnp.where(ok, wr * attrs["col"][0] * fw, wr)
+            wg = jnp.where(ok, wg * attrs["col"][1] * fw, wg)
+            wb = jnp.where(ok, wb * attrs["col"][2] * fw, wb)
+
+            # weight sanity
+            wzero = (wr == 0.0) & (wg == 0.0) & (wb == 0.0)
+            wfin = (jnp.isfinite(wr) & jnp.isfinite(wg) & jnp.isfinite(wb))
+            alive = alive & ~(shade & (wzero | ~wfin))
+
+            # Russian roulette (bounce > 3), prob = min(.99, max weight)
+            if bounce > 3:
+                rr = shade & alive
+                rr_prob = jnp.minimum(
+                    jnp.float32(0.99),
+                    jnp.maximum(wr, jnp.maximum(wg, wb)))
+                r_rr, rng = R.rand1f_if(rng, rr)
+                die = rr & (r_rr >= rr_prob)
+                keep = rr & ~die
+                inv = 1.0 / jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+                wr = jnp.where(keep, wr * inv, wr)
+                wg = jnp.where(keep, wg * inv, wg)
+                wb = jnp.where(keep, wb * inv, wb)
+                alive = alive & ~die
+
+            rox = jnp.where(shade, px, rox)
+            roy = jnp.where(shade, py, roy)
+            roz = jnp.where(shade, pz, roz)
+            rdx = jnp.where(shade, ix, rdx)
+            rdy = jnp.where(shade, iy, rdy)
+            rdz = jnp.where(shade, iz, rdz)
+
+        rr_r[:] = lr
+        rg_r[:] = lg
+        rb_r[:] = lb
+        hit_r[:] = first_hit.astype(jnp.int32)
+        ar_r[:] = aov["ar"]
+        ag_r[:] = aov["ag"]
+        ab_r[:] = aov["ab"]
+        nx_r[:] = aov["nx"]
+        ny_r[:] = aov["ny"]
+        nz_r[:] = aov["nz"]
+        osh_r[:] = rng.state_hi
+        osl_r[:] = rng.state_lo
+
+    block = ROWS * LANE
+
+    @jax.jit
+    def run(ro, rd, rngs):
+        n = ro.shape[0]
+        npad = max(block, ((n + block - 1) // block) * block)
+
+        def prep(x, dtype=jnp.float32):
+            x = x.astype(dtype) if x.dtype != dtype else x
+            if npad != n:
+                x = jnp.pad(x, (0, npad - n))
+            return x.reshape(npad // LANE, LANE)
+
+        ins = [prep(ro[:, 0]), prep(ro[:, 1]), prep(ro[:, 2]),
+               prep(rd[:, 0]), prep(rd[:, 1]), prep(rd[:, 2]),
+               prep(rngs.state_hi, jnp.uint32),
+               prep(rngs.state_lo, jnp.uint32),
+               prep(rngs.inc_hi, jnp.uint32),
+               prep(rngs.inc_lo, jnp.uint32)]
+        srows = npad // LANE
+        grid = srows // ROWS
+        bspec = pl.BlockSpec((ROWS, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        f32 = jax.ShapeDtypeStruct((srows, LANE), jnp.float32)
+        i32 = jax.ShapeDtypeStruct((srows, LANE), jnp.int32)
+        u32 = jax.ShapeDtypeStruct((srows, LANE), jnp.uint32)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[bspec] * 10,
+            out_specs=(bspec,) * 12,
+            out_shape=(f32, f32, f32, i32, f32, f32, f32, f32, f32, f32,
+                       u32, u32),
+            interpret=interpret,
+        )(*ins)
+        (orr, org, orb, hit_i, ar, ag, ab, onx, ony, onz,
+         osh, osl) = outs
+        flat = lambda x: x.reshape(-1)[:n]
+        radiance = jnp.stack([flat(orr), flat(org), flat(orb)], axis=-1)
+        albedo = jnp.stack([flat(ar), flat(ag), flat(ab)], axis=-1)
+        normal = jnp.stack([flat(onx), flat(ony), flat(onz)], axis=-1)
+        hit = flat(hit_i) != 0
+        rngs_out = R.RngState(flat(osh), flat(osl), rngs.inc_hi,
+                              rngs.inc_lo)
+        return radiance, hit, albedo, normal, rngs_out
+
+    return run

@@ -111,24 +111,28 @@ def sample_camera_rays(scene: FlatScene, camera: int, width: int,
 def _one_sample(scene: FlatScene, lights: FlatLights, state: TraceState,
                 meta: LightsMeta, params: TraceParams, width: int,
                 height: int, row_offset=0, full_height: int = None,
-                bvh=None, features=None, intersect_fn=None):
+                bvh=None, features=None, intersect_fn=None,
+                sampler_fn=None):
     """One sample for every pixel (or row block) + accumulation.
     Traced under jit; `row_offset`/`full_height` support tile sharding.
     `bvh` (FlatBvh) selects the accelerated intersector; None = brute
     force. `features` (SceneFeatures) specializes the traced code to the
     scene's static capabilities; `intersect_fn` overrides the intersector
     (e.g. the fused Pallas sweep)."""
-    kinds = features.kinds if features is not None else None
-    if intersect_fn is not None:
-        pass
-    elif bvh is None:
-        intersect_fn = partial(intersect_scene_bruteforce, kinds=kinds)
+    if sampler_fn is not None:
+        sampler = sampler_fn
     else:
-        from .bvh import make_bvh_intersector
-        intersect_fn = make_bvh_intersector(bvh, kinds=kinds)
-    builder = get_sampler_builder(params.sampler)
-    sampler = builder(scene, lights, meta, params, intersect_fn,
-                      features=features)
+        kinds = features.kinds if features is not None else None
+        if intersect_fn is not None:
+            pass
+        elif bvh is None:
+            intersect_fn = partial(intersect_scene_bruteforce, kinds=kinds)
+        else:
+            from .bvh import make_bvh_intersector
+            intersect_fn = make_bvh_intersector(bvh, kinds=kinds)
+        builder = get_sampler_builder(params.sampler)
+        sampler = builder(scene, lights, meta, params, intersect_fn,
+                          features=features)
 
     ro, rd, rngs = sample_camera_rays(
         scene, params.camera, width, height, state.rng, params.tentfilter,
@@ -281,7 +285,17 @@ class Renderer:
         # fused Pallas sweep for the dense path (TPU only; the CPU/test
         # path keeps the pure-jnp reference intersector)
         self._isect = None
+        self._pallas_sampler = None
         if self.bvh is None and jax.default_backend() != "cpu":
+            # full path-tracing megakernel for qualifying small matte
+            # scenes: one kernel per sample instead of ~50 XLA kernels
+            # per bounce (same draw sites/streams as the lockstep sampler)
+            from .pallas_path import (make_pallas_path_sampler,
+                                      supports_pallas_path)
+            if (params.exact_rng and max(1, params.spp_batch) == 1
+                    and supports_pallas_path(scene, self.features, params)):
+                self._pallas_sampler = make_pallas_path_sampler(
+                    scene, params)
             from .pallas_intersect import (
                 make_pallas_bruteforce_intersector,
                 make_pallas_small_intersector)
@@ -306,12 +320,14 @@ class Renderer:
                                      intersect_fn=isect)
         else:
             isect = self._isect
+            psampler = self._pallas_sampler
 
             @jax.jit
             def step(flat, lights, bvh, state):
                 return _one_sample(flat, lights, state, meta, params,
                                    width, height, bvh=bvh,
-                                   features=features, intersect_fn=isect)
+                                   features=features, intersect_fn=isect,
+                                   sampler_fn=psampler)
 
         self._step = step
         self.spp_batch = spp
