@@ -114,6 +114,9 @@ class WavefrontRenderer:
         else:
             self.bvh = None
         self._jits = {}
+        # observability (SURVEY.md §5): per-sample wavefront occupancy
+        self.stats = {"bounce_lanes": [], "trav_rounds": 0,
+                      "samples": 0}
 
     # ------------------------------------------------------------------
     # jitted stages (cached per bucket size via shape polymorphism of jit)
@@ -565,6 +568,7 @@ class WavefrontRenderer:
                    jnp.full(n, M.flt_max, jnp.float32))
         for _ in range(64):
             st = trav_round(st)
+            self.stats["trav_rounds"] += 1
             results = scatter(results, st, src)
             live = np.asarray(st.cur >= 0)
             nlive = int(live.sum())
@@ -601,8 +605,10 @@ class WavefrontRenderer:
         normal = jnp.zeros((npix, 3), jnp.float32)
         hits = jnp.zeros(npix, jnp.int32)
 
+        bounce_lanes = []
         max_iters = self.params.bounces + 32
         for it in range(max_iters):
+            bounce_lanes.append(int(lanes.pix.shape[0]))
             if self.use_bvh:
                 hit, inst_g, elem_g, uv_g, dist = self._traverse(
                     lanes.ro, lanes.rd)
@@ -637,6 +643,8 @@ class WavefrontRenderer:
             img = scatter_img(img, lanes.pix,
                               lanes.radiance,
                               jnp.full_like(lanes.pix, -1))
+        self.stats["bounce_lanes"] = bounce_lanes
+        self.stats["samples"] += 1
         return img, albedo, normal, hits
 
     # ------------------------------------------------------------------
