@@ -29,6 +29,7 @@ per-lane history that crosses compaction; supported there).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional
 
@@ -177,7 +178,7 @@ class WavefrontRenderer:
         step = self._trav_step
 
         @jax.jit
-        def trav_round(st: _TravState):
+        def trav_round(st: _TravState, results, src):
             bucket = st.cur.shape[0]
             st = st._replace(it=jnp.zeros((), jnp.int32))
 
@@ -197,7 +198,19 @@ class WavefrontRenderer:
                     return (live > 0) & ((live * TRAV_EXIT_FRAC > bucket)
                                          | (st.it < 16)) & (st.it < 4096)
 
-            return jax.lax.while_loop(cond, body, st)
+            st = jax.lax.while_loop(cond, body, st)
+            # scatter finished hits into the full-size result buffers in
+            # the same dispatch (halves the per-round host round trips)
+            hit, inst, elem, uv, dist = results
+            ok = src >= 0
+            si = jnp.where(ok, src, 0)
+            upd = lambda dst, val: dst.at[si].set(
+                jnp.where(ok.reshape(ok.shape + (1,) * (val.ndim - 1)),
+                          val, dst[si]))
+            results = (upd(hit, st.hit), upd(inst, st.inst),
+                       upd(elem, st.elem), upd(uv, st.uv),
+                       upd(dist, jnp.where(st.hit, st.tmax, M.flt_max)))
+            return st, results
 
         self._jits[key] = trav_round
         return trav_round
@@ -263,11 +276,15 @@ class WavefrontRenderer:
         from ..ops import shading as SH
         from .sceneval import is_volumetric_instance
 
-        @jax.jit
+        clamp = params.clamp
+
+        @functools.partial(jax.jit, static_argnames=("first_bounce",))
         def shade(flat, lights, lanes: Lanes, hit, inst_g, elem_g, uv_g,
-                  dist):
-            """One surface interaction for every lane; returns the updated
-            lanes (dead lanes keep pix=-1) + first-bounce AOVs."""
+                  dist, img, albedo_img, normal_img, hits_img,
+                  first_bounce):
+            """One surface interaction for every lane, fused with the
+            image/AOV scatters (single dispatch per bounce): returns the
+            updated lanes (dead lanes keep pix=-1) + accumulators."""
             has_env = flat.env_frame.shape[0] > 0
             act = lanes.pix >= 0
             hit_l = act & hit
@@ -496,10 +513,31 @@ class WavefrontRenderer:
             pix = jnp.where(cont, lanes.pix, -1)
             # hit flag for the sample's alpha/hits accumulators
             hit_aov = shade_m & (lanes.bounce == 0)
+
+            # --- fused scatters (previously separate dispatches)
+            # lanes that died this bounce: per-lane clamp + NaN scrub
+            # (yocto_trace.cpp:1471-1475), then add into the sample image
+            dead = (lanes.pix >= 0) & (pix < 0)
+            finite = M.isfinite3(radiance)[:, None]
+            rad = jnp.where(finite, radiance, 0.0)
+            mxr = M.maxc(rad)
+            rscale = jnp.where(mxr > clamp,
+                               clamp / jnp.maximum(mxr, 1e-20), 1.0)
+            rad = rad * rscale[:, None]
+            didx = jnp.where(dead, lanes.pix, 0)
+            img = img.at[didx].add(jnp.where(dead[:, None], rad, 0.0))
+            if first_bounce:
+                okf = (lanes.pix >= 0) & hit_aov
+                fidx = jnp.where(okf, lanes.pix, 0)
+                albedo_img = albedo_img.at[fidx].add(
+                    jnp.where(okf[:, None], albedo, 0.0))
+                normal_img = normal_img.at[fidx].add(
+                    jnp.where(okf[:, None], normal_aov, 0.0))
+                hits_img = hits_img.at[fidx].add(okf.astype(jnp.int32))
             return (Lanes(pix=pix, ro=ro, rd=rd, weight=weight,
                           radiance=radiance, bounce=bounce,
                           opbounce=opbounce, rng=rng, **vol_kwargs),
-                    hit_aov, albedo, normal_aov)
+                    img, albedo_img, normal_img, hits_img)
 
         self._jits[key] = shade
         return shade
@@ -559,7 +597,6 @@ class WavefrontRenderer:
         n = ro.shape[0]
         trav_round = self._trav_round()
         gather = self._gather()
-        scatter = self._trav_scatter()
         st = trav_init(ro, rd)
         src = jnp.arange(n, dtype=jnp.int32)
         results = (jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32),
@@ -567,9 +604,8 @@ class WavefrontRenderer:
                    jnp.zeros((n, 2), jnp.float32),
                    jnp.full(n, M.flt_max, jnp.float32))
         for _ in range(64):
-            st = trav_round(st)
+            st, results = trav_round(st, results, src)
             self.stats["trav_rounds"] += 1
-            results = scatter(results, st, src)
             live = np.asarray(st.cur >= 0)
             nlive = int(live.sum())
             if nlive == 0:
@@ -596,7 +632,6 @@ class WavefrontRenderer:
         lanes = self._raygen()(flat, sample_idx)
         shade = self._shade()
         scatter_img = self._scatter_img()
-        scatter_aov = self._scatter_aov()
         gather = self._gather()
         isec_dense = self._intersect_dense() if not self.use_bvh else None
 
@@ -619,13 +654,9 @@ class WavefrontRenderer:
                 isec = isec_dense(flat, lanes.ro, lanes.rd)
                 hit, inst_g, elem_l = isec.hit, isec.instance, isec.element
                 uv_g, dist = isec.uv, isec.distance
-            pix_prev = lanes.pix
-            lanes, hit_aov, alb, nrm = shade(flat, lights, lanes, hit,
-                                             inst_g, elem_l, uv_g, dist)
-            img = scatter_img(img, pix_prev, lanes.radiance, lanes.pix)
-            if it == 0:
-                albedo, normal, hits = scatter_aov(
-                    albedo, normal, hits, pix_prev, hit_aov, alb, nrm)
+            lanes, img, albedo, normal, hits = shade(
+                flat, lights, lanes, hit, inst_g, elem_l, uv_g, dist,
+                img, albedo, normal, hits, first_bounce=(it == 0))
             live = np.asarray(lanes.pix >= 0)
             nlive = int(live.sum())
             if nlive == 0:
