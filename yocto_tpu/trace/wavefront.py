@@ -253,10 +253,20 @@ class WavefrontRenderer:
         if key in self._jits:
             return self._jits[key]
         kinds = self.features.kinds
-
-        @jax.jit
-        def isec_dense(flat, ro, rd):
-            return intersect_scene_bruteforce(flat, ro, rd, kinds=kinds)
+        if jax.default_backend() != "cpu":
+            from .pallas_intersect import (
+                make_pallas_bruteforce_intersector,
+                make_pallas_small_intersector)
+            fn = make_pallas_small_intersector(self.scene_host)
+            if fn is None:
+                fn = make_pallas_bruteforce_intersector(
+                    self.scene_host, kinds=kinds)
+            isec_dense = jax.jit(fn)
+        else:
+            @jax.jit
+            def isec_dense(flat, ro, rd):
+                return intersect_scene_bruteforce(flat, ro, rd,
+                                                  kinds=kinds)
 
         self._jits[key] = isec_dense
         return isec_dense
