@@ -43,6 +43,17 @@ def _lookat_frame(eye, center, up, inv_ok=False):
 
 
 def load_texture(path: str) -> TextureData:
+    if path.lower().endswith(".ypreset"):
+        from .presets import make_texture_preset
+        img = make_texture_preset(
+            os.path.basename(path)[:-len(".ypreset")])
+        px = np.asarray(img.pixels, np.float32)
+        if img.linear:
+            return TextureData(width=img.width, height=img.height,
+                               linear=True, pixelsf=px)
+        return TextureData(
+            width=img.width, height=img.height, linear=False,
+            pixelsb=np.clip(px * 255.0 + 0.5, 0, 255).astype(np.uint8))
     pixelsf, pixelsb, linear = imageio.load_image_bytes(path)
     if pixelsf is not None:
         h, w = pixelsf.shape[:2]
