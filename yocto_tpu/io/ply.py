@@ -6,6 +6,16 @@ binary little/big endian), typed accessors (positions/normals/texcoords/
 colors/radius/faces/lines/points), and a writer. Bulk data paths are
 vectorized NumPy; mixed-size face lists fall back to an offset walk.
 
+Caveat discovered against the reference: the reference's own PLY writer
+has an upstream bug for MIXED-size face lists (degenerate quads written
+as triangles) — add_lists(sizes, values) passes the index count as the
+face element count (yocto_modelio.h:951-957), producing files whose
+header claims ~4x the real face count followed by garbage bytes; the
+reference cannot read those files back either. Uniform-size files (all
+triangles or all true quads, and all third-party assets) are unaffected.
+This repo's bundled Suzanne asset/oracle were regenerated from the
+reference's in-memory arrays instead.
+
 Conventions preserved: `get_faces` returns quads if any face has 4
 vertices (triangles become degenerate quads w==z), otherwise triangles
 with fan splitting; texcoords flip v when requested (the scene loader
