@@ -107,6 +107,34 @@ def main(argv=None):
 
     from ..trace.renderer import Renderer, get_image
 
+    if args.interactive:
+        # the reference's cancel -> preview -> progressive-batches loop
+        # (apps/ytrace.cpp:161-265) with the GL window replaced by file
+        # output: writes an immediate low-res preview, then refreshes the
+        # output image as sample batches land (see trace.progressive)
+        import time as _time
+
+        from ..trace.progressive import (get_current_image,
+                                         make_trace_context, trace_done,
+                                         trace_preview, trace_start)
+        with SimpleTimer("trace preview"):
+            save_image(args.output, trace_preview(scene, params),
+                       linear=True)
+        ctx = make_trace_context(scene, params)
+        trace_start(ctx)
+        last = 0
+        while not trace_done(ctx):
+            _time.sleep(0.5)
+            done = int(ctx.state.samples)
+            if done > last:
+                print_info(f"samples {done}/{params.samples}")
+                save_image(args.output, get_current_image(ctx),
+                           linear=True)
+                last = done
+        save_image(args.output, get_current_image(ctx), linear=True)
+        print_info(f"saved {args.output}")
+        return 0
+
     n_cands = sum(
         max(len(scene.shapes[i.shape].points),
             len(scene.shapes[i.shape].lines),
