@@ -68,3 +68,29 @@ def test_wavefront_bvh_path():
     img = np.asarray(wf.render().image)[..., :3]
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 2e-2
+
+
+def test_wavefront_pathmis_matches_lockstep():
+    from yocto_tpu.trace.wavefront import WavefrontPathmisRenderer
+
+    # mirror sphere: exercises the delta branch without volumes (the
+    # pathmis wavefront v1 is surface-only)
+    scene = make_cornellbox()
+    sph = make_sphere(steps=8, scale=0.35)
+    scene.shapes.append(sph)
+    scene.materials.append(MaterialData(
+        type=MaterialType.reflective,
+        color=np.array([0.8, 0.8, 0.8], np.float32), roughness=0.0))
+    fr = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.3, 0.6, 0.3]],
+                  np.float32)
+    scene.instances.append(InstanceData(
+        frame=fr, shape=len(scene.shapes) - 1,
+        material=len(scene.materials) - 1))
+    base = dict(resolution=32, samples=12, bounces=4,
+                sampler=SamplerType.pathmis)
+    ref = get_image(Renderer(scene, TraceParams(**base)).render())[..., :3]
+    wf = WavefrontPathmisRenderer(scene, TraceParams(**base, spp_batch=4))
+    img = np.asarray(wf.render().image)[..., :3]
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 1.5e-2
+    assert np.abs(img - ref).mean() < 0.08

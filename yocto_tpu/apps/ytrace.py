@@ -142,17 +142,23 @@ def main(argv=None):
             len(scene.shapes[i.shape].quads))
         for i in scene.instances if 0 <= i.shape < len(scene.shapes))
     from ..trace.params import SamplerType as _ST
-    wf_auto = (params.sampler in (_ST.path, _ST.pathtest)
+    wf_auto = (params.sampler in (_ST.path, _ST.pathtest, _ST.pathmis)
                and n_cands > 4096 and not params.nocaustics)
     use_wavefront = (args.wavefront == "on"
                      or (args.wavefront == "auto" and wf_auto))
     with SimpleTimer("build renderer"):
         if use_wavefront:
             import dataclasses
-            from ..trace.wavefront import WavefrontRenderer
+            from ..trace.wavefront import (WavefrontPathmisRenderer,
+                                           WavefrontRenderer)
             spp = args.sppbatch or max(params.batch, 4)
-            renderer = WavefrontRenderer(
-                scene, dataclasses.replace(params, spp_batch=spp))
+            cls = (WavefrontPathmisRenderer
+                   if params.sampler == _ST.pathmis else WavefrontRenderer)
+            try:
+                renderer = cls(
+                    scene, dataclasses.replace(params, spp_batch=spp))
+            except ValueError:
+                renderer = Renderer(scene, params)  # volume fallbacks etc.
         else:
             renderer = Renderer(scene, params)
     state = renderer.make_state()

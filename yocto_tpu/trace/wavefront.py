@@ -730,3 +730,370 @@ class WavefrontRenderer:
             if callback is not None:
                 callback(state, int(state.samples) - 1)
         return state
+
+
+class PathmisLanes(NamedTuple):
+    """Lane state for the wavefront pathmis pipeline (surface scenes)."""
+
+    pix: jax.Array
+    ro: jax.Array
+    rd: jax.Array
+    weight: jax.Array
+    radiance: jax.Array
+    bounce: jax.Array
+    opbounce: jax.Array
+    next_em: jax.Array   # bool: count emission on the next hit
+    rng: R.RngState
+
+
+class WavefrontPathmisRenderer(WavefrontRenderer):
+    """`trace_pathmis` over compacted queues: full power-2 MIS with both
+    strategies at every rough vertex (yocto_trace.cpp:770-950 estimator).
+
+    Per bounce: main traversal -> shade_pre (miss/env + emission gated by
+    next_emission + light-strategy direction) -> connection traversal ->
+    shade_mid (light-strategy MIS contribution + BSDF-strategy direction)
+    -> connection traversal -> shade_post (BSDF-strategy MIS contribution,
+    continuation weight with the reference's 0/0->NaN lane-kill, delta
+    branch, Russian roulette, compaction flags). Volume scenes fall back
+    to the lockstep renderer (v1 limitation)."""
+
+    def __init__(self, scene: SceneData, params: TraceParams):
+        from .params import SamplerType as _ST
+        import dataclasses
+        base = dataclasses.replace(params, sampler=_ST.path)
+        super().__init__(scene, base)
+        self.params = params
+        if self.features.has_volumes:
+            raise ValueError("wavefront pathmis v1 covers surface scenes")
+
+    # -- shade stages ----------------------------------------------------
+
+    def _mis_stages(self):
+        key = "mis_stages"
+        if key in self._jits:
+            return self._jits[key]
+        params, feat = self.params, self.features
+        meta = self.meta
+        has_lights = meta.n_lights > 0
+        has_delta = feat.has_delta
+        has_opacity = feat.has_opacity
+        types = feat.mat_types
+        envhidden = params.envhidden
+        clamp = params.clamp
+
+        def mis_heuristic(this_pdf, other_pdf):
+            return (this_pdf * this_pdf) / (
+                this_pdf * this_pdf + other_pdf * other_pdf)
+
+        def surface(flat, lanes, hit, inst_g, elem_g, uv_g):
+            inst = jnp.maximum(inst_g, 0)
+            shape = flat.inst_shape[inst]
+            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            outgoing = -lanes.rd
+            position = eval_shading_position(flat, inst, gelem, uv_g,
+                                             outgoing)
+            normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
+                                         features=feat)
+            material = eval_material(flat, inst, gelem, uv_g, features=feat)
+            return inst, position, normal, material, outgoing
+
+        def emission_at(flat, direction, hit, inst_g, elem_g, uv_g):
+            """Emission seen along a connection ray (pathtrace._nee_emission
+            semantics: facing hit emission, env on miss)."""
+            inst = jnp.maximum(inst_g, 0)
+            shape = flat.inst_shape[inst]
+            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            mat = eval_material(flat, inst, gelem, uv_g, features=feat)
+            nrm = eval_shading_normal(flat, inst, gelem, uv_g, -direction,
+                                      features=feat)
+            em = B.eval_emission(mat, nrm, -direction)
+            if flat.env_frame.shape[0] > 0:
+                env = eval_environment(flat, direction)
+            else:
+                env = jnp.zeros_like(em)
+            return jnp.where(hit[:, None], em, env)
+
+        @jax.jit
+        def shade_pre(flat, lights, lanes: PathmisLanes, hit, inst_g,
+                      elem_g, uv_g):
+            """Miss/env + gated emission + opacity + light-strategy dir."""
+            has_env = flat.env_frame.shape[0] > 0
+            act = lanes.pix >= 0
+            hit_l = act & hit
+            radiance = lanes.radiance
+            if has_env:
+                miss = act & ~hit
+                env_ok = miss & ((lanes.bounce > 0) | (not envhidden)) \
+                    & lanes.next_em
+                env = eval_environment(flat, lanes.rd)
+                radiance = jnp.where(env_ok[:, None],
+                                     radiance + lanes.weight * env,
+                                     radiance)
+            alive = hit_l
+            inst, position, normal, material, outgoing = surface(
+                flat, lanes, hit, inst_g, elem_g, uv_g)
+            rng = lanes.rng
+
+            if has_opacity:
+                op_lt1 = alive & (material.opacity < 1.0)
+                r_op, rng = R.rand1f_if(rng, op_lt1)
+                op_skip = op_lt1 & (r_op >= material.opacity)
+                op_die = op_skip & (lanes.opbounce > 128)
+                opbounce = jnp.where(op_skip, lanes.opbounce + 1,
+                                     lanes.opbounce)
+                alive = alive & ~op_die
+                shade_m = alive & ~op_skip
+            else:
+                op_skip = jnp.zeros_like(alive)
+                opbounce = lanes.opbounce
+                shade_m = alive
+
+            first = shade_m & (lanes.bounce == 0)
+            albedo = jnp.where(first[:, None], material.color, 0.0)
+            normal_aov = jnp.where(first[:, None], normal, 0.0)
+            hit_aov = first
+
+            emis = B.eval_emission(material, normal, outgoing)
+            radiance = jnp.where((shade_m & lanes.next_em)[:, None],
+                                 radiance + lanes.weight * emis, radiance)
+
+            delta = is_delta_point(material) if has_delta \
+                else jnp.zeros_like(shade_m)
+            nd = shade_m & ~delta if has_delta else shade_m
+
+            # light strategy direction (draws match lockstep pathmis)
+            ruv_l, rng = R.rand2f_if(rng, nd)
+            rel_l, rng = R.rand1f_if(rng, nd)
+            rl_l, rng = R.rand1f_if(rng, nd)
+            if has_lights:
+                inc_l = sample_lights(flat, lights, meta, position,
+                                      rl_l, rel_l, ruv_l)
+            else:
+                inc_l = jnp.zeros_like(position)
+            lanes = lanes._replace(radiance=radiance, opbounce=opbounce,
+                                   rng=rng)
+            # mask tuple carried host-side between stages
+            flags = jnp.stack([alive, shade_m, op_skip, delta, nd],
+                              axis=1).astype(jnp.int8)
+            return lanes, flags, position, inc_l, albedo, normal_aov, \
+                hit_aov
+
+        @jax.jit
+        def shade_mid(flat, lights, lanes: PathmisLanes, flags, position,
+                      inc_l, hit_c, inst_c, elem_c, uv_c, inst_g, elem_g,
+                      uv_g, hit):
+            """Light-strategy MIS contribution + BSDF-strategy direction."""
+            alive, shade_m, op_skip, delta, nd = [
+                flags[:, i] != 0 for i in range(5)]
+            inst, _, normal, material, outgoing = surface(
+                flat, lanes, hit, inst_g, elem_g, uv_g)
+            rng = lanes.rng
+            radiance = lanes.radiance
+
+            l_zero = nd & M.is_zero3(inc_l)
+            l_live = nd & ~l_zero
+            if has_lights:
+                f_l = B.eval_bsdfcos(material, normal, outgoing, inc_l,
+                                     types=types)
+                lpdf_l = sample_lights_pdf(flat, lights, meta, position,
+                                           inc_l)
+                bpdf_l = B.sample_bsdfcos_pdf(material, normal, outgoing,
+                                              inc_l, types=types)
+                safe_lpdf = jnp.where(lpdf_l == 0.0, 1.0, lpdf_l)
+                misw_l = mis_heuristic(lpdf_l, bpdf_l) / safe_lpdf
+                misw_l = jnp.where(lpdf_l == 0.0, 0.0, misw_l)
+                em_l = emission_at(flat, inc_l, hit_c, inst_c, elem_c,
+                                   uv_c)
+                ok_l = l_live & ~M.is_zero3(f_l) & (misw_l != 0.0)
+                radiance = jnp.where(
+                    ok_l[:, None],
+                    radiance + lanes.weight * f_l * em_l
+                    * misw_l[:, None], radiance)
+
+            # bsdf strategy direction (drawn only where light sample lived)
+            rn2_b, rng = R.rand2f_if(rng, l_live)
+            rnl_b, rng = R.rand1f_if(rng, l_live)
+            inc_b = B.sample_bsdfcos(material, normal, outgoing, rnl_b,
+                                     rn2_b, types=types)
+            inc_b = jnp.where(l_live[:, None], inc_b,
+                              jnp.zeros_like(inc_b))
+            lanes = lanes._replace(radiance=radiance, rng=rng)
+            return lanes, inc_b
+
+        @functools.partial(jax.jit, static_argnames=("first_bounce",))
+        def shade_post(flat, lights, lanes: PathmisLanes, flags, position,
+                       inc_b, hit_b, inst_b, elem_b, uv_b, inst_g, elem_g,
+                       uv_g, hit, img, albedo_img, normal_img, hits_img,
+                       albedo, normal_aov, hit_aov, first_bounce):
+            """BSDF-strategy MIS + continuation + RR + fused scatters."""
+            alive, shade_m, op_skip, delta, nd = [
+                flags[:, i] != 0 for i in range(5)]
+            inst, _, normal, material, outgoing = surface(
+                flat, lanes, hit, inst_g, elem_g, uv_g)
+            rng = lanes.rng
+            radiance = lanes.radiance
+            weight = lanes.weight
+
+            b_zero = nd & M.is_zero3(inc_b)
+            b_live = nd & ~b_zero
+            f_b = B.eval_bsdfcos(material, normal, outgoing, inc_b,
+                                 types=types)
+            bpdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing,
+                                          inc_b, types=types)
+            if has_lights:
+                lpdf_b = sample_lights_pdf(flat, lights, meta, position,
+                                           inc_b)
+                safe_bpdf = jnp.where(bpdf_b == 0.0, 1.0, bpdf_b)
+                misw_b = mis_heuristic(bpdf_b, lpdf_b) / safe_bpdf
+                misw_b = jnp.where(bpdf_b == 0.0, 0.0, misw_b)
+                em_b = emission_at(flat, inc_b, hit_b, inst_b, elem_b,
+                                   uv_b)
+                ok_b = b_live & ~M.is_zero3(f_b) & (misw_b != 0.0)
+                radiance = jnp.where(
+                    ok_b[:, None],
+                    radiance + weight * f_b * em_b * misw_b[:, None],
+                    radiance)
+            else:
+                safe_bpdf = jnp.where(bpdf_b == 0.0, 1.0, bpdf_b)
+
+            # continuation: bsdf-only pdf; 0/0 -> NaN kills the lane like
+            # the reference (yocto_trace.cpp:905-915)
+            w_nd = weight * f_b / safe_bpdf[:, None]
+            w_nd = jnp.where((bpdf_b == 0.0)[:, None],
+                             jnp.full_like(w_nd, jnp.nan), w_nd)
+            weight = jnp.where(nd[:, None], w_nd, weight)
+            incoming = inc_b
+
+            if has_delta:
+                dl = shade_m & delta
+                r_delta, rng = R.rand1f_if(rng, dl)
+                inc_delta = B.sample_delta(material, normal, outgoing,
+                                           r_delta, types=types)
+                f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                    types=types)
+                pdf_dl = B.sample_delta_pdf(material, normal, outgoing,
+                                            inc_delta, types=types)
+                safe_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[:, None]
+                w_dl = weight * f_dl / safe_dl
+                w_dl = jnp.where((pdf_dl == 0.0)[:, None],
+                                 jnp.full_like(w_dl, jnp.nan), w_dl)
+                weight = jnp.where(dl[:, None], w_dl, weight)
+                incoming = jnp.where(delta[:, None], inc_delta, incoming)
+            next_em = jnp.where(shade_m, delta, lanes.next_em) \
+                if has_delta else jnp.where(shade_m, False, lanes.next_em)
+
+            wzero = M.is_zero3(weight)
+            wbad = ~M.isfinite3(weight)
+            alive = alive & ~(shade_m & (wzero | wbad))
+
+            rr = shade_m & alive & (lanes.bounce > 3)
+            rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(weight))
+            r_rr, rng = R.rand1f_if(rng, rr)
+            rr_die = rr & (r_rr >= rr_prob)
+            safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+            weight = jnp.where((rr & ~rr_die)[:, None],
+                               weight / safe_rr[:, None], weight)
+            alive = alive & ~rr_die
+
+            ro = jnp.where(shade_m[:, None], position, lanes.ro)
+            rd = jnp.where(shade_m[:, None], incoming, lanes.rd)
+            if has_opacity:
+                ro = jnp.where(op_skip[:, None],
+                               position + lanes.rd * 1e-2, ro)
+
+            bounce = jnp.where(shade_m & alive, lanes.bounce + 1,
+                               lanes.bounce)
+            cont = alive & (op_skip | (bounce < params.bounces)) \
+                & (shade_m | op_skip)
+            pix = jnp.where(cont, lanes.pix, -1)
+
+            # fused scatters (per-lane clamp + NaN scrub)
+            dead = (lanes.pix >= 0) & (pix < 0)
+            finite = M.isfinite3(radiance)[:, None]
+            rad = jnp.where(finite, radiance, 0.0)
+            mxr = M.maxc(rad)
+            rscale = jnp.where(mxr > clamp,
+                               clamp / jnp.maximum(mxr, 1e-20), 1.0)
+            rad = rad * rscale[:, None]
+            didx = jnp.where(dead, lanes.pix, 0)
+            img = img.at[didx].add(jnp.where(dead[:, None], rad, 0.0))
+            if first_bounce:
+                okf = (lanes.pix >= 0) & hit_aov
+                fidx = jnp.where(okf, lanes.pix, 0)
+                albedo_img = albedo_img.at[fidx].add(
+                    jnp.where(okf[:, None], albedo, 0.0))
+                normal_img = normal_img.at[fidx].add(
+                    jnp.where(okf[:, None], normal_aov, 0.0))
+                hits_img = hits_img.at[fidx].add(okf.astype(jnp.int32))
+            return (PathmisLanes(pix=pix, ro=ro, rd=rd, weight=weight,
+                                 radiance=radiance, bounce=bounce,
+                                 opbounce=lanes.opbounce,
+                                 next_em=next_em, rng=rng),
+                    img, albedo_img, normal_img, hits_img)
+
+        stages = (shade_pre, shade_mid, shade_post)
+        self._jits[key] = stages
+        return stages
+
+    def _intersect_any(self, flat, ro, rd):
+        """Closest hit via the scene-size-appropriate path."""
+        if self.use_bvh:
+            hit, inst_g, elem_g, uv_g, dist = self._traverse(ro, rd)
+            shape = flat.inst_shape[jnp.maximum(inst_g, 0)]
+            elem_l = elem_g - flat.shape_elem_start[shape]
+            return hit, inst_g, elem_l, uv_g
+        isec = self._intersect_dense()(flat, ro, rd)
+        return isec.hit, isec.instance, isec.element, isec.uv
+
+    def render_sample(self, flat, lights, sample_idx: int):
+        npix = self.width * self.height
+        lanes_p = self._raygen()(flat, sample_idx)
+        lanes = PathmisLanes(
+            pix=lanes_p.pix, ro=lanes_p.ro, rd=lanes_p.rd,
+            weight=lanes_p.weight, radiance=lanes_p.radiance,
+            bounce=lanes_p.bounce, opbounce=lanes_p.opbounce,
+            next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng)
+        shade_pre, shade_mid, shade_post = self._mis_stages()
+        gather = self._gather()
+
+        img = jnp.zeros((npix, 3), jnp.float32)
+        albedo = jnp.zeros((npix, 3), jnp.float32)
+        normal = jnp.zeros((npix, 3), jnp.float32)
+        hits = jnp.zeros(npix, jnp.int32)
+
+        max_iters = self.params.bounces + 32
+        for it in range(max_iters):
+            hit, inst_g, elem_l, uv_g = self._intersect_any(
+                flat, lanes.ro, lanes.rd)
+            lanes, flags, position, inc_l, alb, nrm, hit_aov = shade_pre(
+                flat, lights, lanes, hit, inst_g, elem_l, uv_g)
+            hit_c, inst_c, elem_c, uv_c = self._intersect_any(
+                flat, position, inc_l)
+            lanes, inc_b = shade_mid(
+                flat, lights, lanes, flags, position, inc_l,
+                hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit)
+            hit_b, inst_b, elem_b, uv_b = self._intersect_any(
+                flat, position, inc_b)
+            lanes, img, albedo, normal, hits = shade_post(
+                flat, lights, lanes, flags, position, inc_b,
+                hit_b, inst_b, elem_b, uv_b, inst_g, elem_l, uv_g, hit,
+                img, albedo, normal, hits, alb, nrm, hit_aov,
+                first_bounce=(it == 0))
+            live = np.asarray(lanes.pix >= 0)
+            nlive = int(live.sum())
+            if nlive == 0:
+                break
+            bucket = _next_bucket(nlive)
+            if bucket < lanes.pix.shape[0]:
+                idx_np = np.nonzero(live)[0]
+                dead = np.nonzero(~live)[0]
+                pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
+                idx_np = np.concatenate(
+                    [idx_np, np.full(bucket - nlive, pad_val, np.int64)])
+                lanes = gather(lanes, jnp.asarray(idx_np, jnp.int32))
+        else:
+            scatter_img = self._scatter_img()
+            img = scatter_img(img, lanes.pix, lanes.radiance,
+                              jnp.full_like(lanes.pix, -1))
+        return img, albedo, normal, hits
