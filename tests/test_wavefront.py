@@ -73,19 +73,8 @@ def test_wavefront_bvh_path():
 def test_wavefront_pathmis_matches_lockstep():
     from yocto_tpu.trace.wavefront import WavefrontPathmisRenderer
 
-    # mirror sphere: exercises the delta branch without volumes (the
-    # pathmis wavefront v1 is surface-only)
-    scene = make_cornellbox()
-    sph = make_sphere(steps=8, scale=0.35)
-    scene.shapes.append(sph)
-    scene.materials.append(MaterialData(
-        type=MaterialType.reflective,
-        color=np.array([0.8, 0.8, 0.8], np.float32), roughness=0.0))
-    fr = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.3, 0.6, 0.3]],
-                  np.float32)
-    scene.instances.append(InstanceData(
-        frame=fr, shape=len(scene.shapes) - 1,
-        material=len(scene.materials) - 1))
+    # glass sphere: exercises the delta branch AND the volume stack
+    scene = _glass_cornell()
     base = dict(resolution=32, samples=12, bounces=4,
                 sampler=SamplerType.pathmis)
     ref = get_image(Renderer(scene, TraceParams(**base)).render())[..., :3]

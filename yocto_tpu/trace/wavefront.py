@@ -733,7 +733,7 @@ class WavefrontRenderer:
 
 
 class PathmisLanes(NamedTuple):
-    """Lane state for the wavefront pathmis pipeline (surface scenes)."""
+    """Lane state for the wavefront pathmis pipeline."""
 
     pix: jax.Array
     ro: jax.Array
@@ -744,6 +744,10 @@ class PathmisLanes(NamedTuple):
     opbounce: jax.Array
     next_em: jax.Array   # bool: count emission on the next hit
     rng: R.RngState
+    vol_density: jax.Array = None     # [B,CAP,3] (None if no volumes)
+    vol_scattering: jax.Array = None
+    vol_aniso: jax.Array = None
+    vol_depth: jax.Array = None
 
 
 class WavefrontPathmisRenderer(WavefrontRenderer):
@@ -764,8 +768,6 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         base = dataclasses.replace(params, sampler=_ST.path)
         super().__init__(scene, base)
         self.params = params
-        if self.features.has_volumes:
-            raise ValueError("wavefront pathmis v1 covers surface scenes")
 
     # -- shade stages ----------------------------------------------------
 
@@ -778,9 +780,12 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         has_lights = meta.n_lights > 0
         has_delta = feat.has_delta
         has_opacity = feat.has_opacity
+        has_volumes = feat.has_volumes
         types = feat.mat_types
         envhidden = params.envhidden
         clamp = params.clamp
+        from ..ops import shading as SH
+        from .sceneval import is_volumetric_instance
 
         def mis_heuristic(this_pdf, other_pdf):
             return (this_pdf * this_pdf) / (
@@ -816,8 +821,9 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
 
         @jax.jit
         def shade_pre(flat, lights, lanes: PathmisLanes, hit, inst_g,
-                      elem_g, uv_g):
-            """Miss/env + gated emission + opacity + light-strategy dir."""
+                      elem_g, uv_g, dist):
+            """Miss/env + transmittance + gated emission + opacity +
+            light-strategy direction."""
             has_env = flat.env_frame.shape[0] > 0
             act = lanes.pix >= 0
             hit_l = act & hit
@@ -831,23 +837,51 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                                      radiance + lanes.weight * env,
                                      radiance)
             alive = hit_l
+            rng = lanes.rng
+            weight0 = lanes.weight
+
+            # volume transmittance (yocto_trace.cpp:479-488)
+            if has_volumes:
+                cap = VOLUME_STACK_CAP
+                in_stack = hit_l & (lanes.vol_depth > 0)
+                r_tr2, rng = R.rand1f_if(rng, in_stack)
+                r_tr1, rng = R.rand1f_if(rng, in_stack)
+                slot = jnp.maximum(lanes.vol_depth - 1, 0)
+                take = lambda a: jnp.take_along_axis(
+                    a, slot[:, None, None] if a.ndim == 3
+                    else slot[:, None], axis=1)[:, 0]
+                top_density = take(lanes.vol_density)
+                tdist = SH.sample_transmittance(top_density, dist,
+                                                r_tr1, r_tr2)
+                trans = SH.eval_transmittance(top_density, tdist)
+                tpdf = SH.sample_transmittance_pdf(top_density, tdist,
+                                                   dist)
+                safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[:, None]
+                weight0 = jnp.where(in_stack[:, None],
+                                    weight0 * trans / safe_tpdf, weight0)
+                in_volume = in_stack & (tdist < dist)
+            else:
+                in_volume = jnp.zeros_like(hit_l)
+                tdist = dist
+            lanes = lanes._replace(weight=weight0)
+
             inst, position, normal, material, outgoing = surface(
                 flat, lanes, hit, inst_g, elem_g, uv_g)
-            rng = lanes.rng
+            surf = alive & ~in_volume if has_volumes else alive
 
             if has_opacity:
-                op_lt1 = alive & (material.opacity < 1.0)
+                op_lt1 = surf & (material.opacity < 1.0)
                 r_op, rng = R.rand1f_if(rng, op_lt1)
                 op_skip = op_lt1 & (r_op >= material.opacity)
                 op_die = op_skip & (lanes.opbounce > 128)
                 opbounce = jnp.where(op_skip, lanes.opbounce + 1,
                                      lanes.opbounce)
                 alive = alive & ~op_die
-                shade_m = alive & ~op_skip
+                shade_m = surf & ~op_skip & alive
             else:
                 op_skip = jnp.zeros_like(alive)
                 opbounce = lanes.opbounce
-                shade_m = alive
+                shade_m = surf
 
             first = shade_m & (lanes.bounce == 0)
             albedo = jnp.where(first[:, None], material.color, 0.0)
@@ -874,18 +908,18 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             lanes = lanes._replace(radiance=radiance, opbounce=opbounce,
                                    rng=rng)
             # mask tuple carried host-side between stages
-            flags = jnp.stack([alive, shade_m, op_skip, delta, nd],
-                              axis=1).astype(jnp.int8)
+            flags = jnp.stack([alive, shade_m, op_skip, delta, nd,
+                               in_volume], axis=1).astype(jnp.int8)
             return lanes, flags, position, inc_l, albedo, normal_aov, \
-                hit_aov
+                hit_aov, tdist
 
         @jax.jit
         def shade_mid(flat, lights, lanes: PathmisLanes, flags, position,
                       inc_l, hit_c, inst_c, elem_c, uv_c, inst_g, elem_g,
                       uv_g, hit):
             """Light-strategy MIS contribution + BSDF-strategy direction."""
-            alive, shade_m, op_skip, delta, nd = [
-                flags[:, i] != 0 for i in range(5)]
+            alive, shade_m, op_skip, delta, nd, in_volume = [
+                flags[:, i] != 0 for i in range(6)]
             inst, _, normal, material, outgoing = surface(
                 flat, lanes, hit, inst_g, elem_g, uv_g)
             rng = lanes.rng
@@ -924,11 +958,12 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         @functools.partial(jax.jit, static_argnames=("first_bounce",))
         def shade_post(flat, lights, lanes: PathmisLanes, flags, position,
                        inc_b, hit_b, inst_b, elem_b, uv_b, inst_g, elem_g,
-                       uv_g, hit, img, albedo_img, normal_img, hits_img,
-                       albedo, normal_aov, hit_aov, first_bounce):
+                       uv_g, hit, tdist, img, albedo_img, normal_img,
+                       hits_img, albedo, normal_aov, hit_aov,
+                       first_bounce):
             """BSDF-strategy MIS + continuation + RR + fused scatters."""
-            alive, shade_m, op_skip, delta, nd = [
-                flags[:, i] != 0 for i in range(5)]
+            alive, shade_m, op_skip, delta, nd, in_volume = [
+                flags[:, i] != 0 for i in range(6)]
             inst, _, normal, material, outgoing = surface(
                 flat, lanes, hit, inst_g, elem_g, uv_g)
             rng = lanes.rng
@@ -983,11 +1018,95 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             next_em = jnp.where(shade_m, delta, lanes.next_em) \
                 if has_delta else jnp.where(shade_m, False, lanes.next_em)
 
+            # volume stack update on transmission (yocto_trace.cpp:544-553)
+            vol_kwargs = {}
+            if has_volumes:
+                crossed = (M.dot(normal, outgoing)
+                           * M.dot(normal, incoming)) < 0.0
+                vol_change = shade_m & alive & crossed \
+                    & is_volumetric_instance(flat, inst)
+                push = vol_change & (lanes.vol_depth == 0)
+                pop = vol_change & (lanes.vol_depth > 0)
+                cap = VOLUME_STACK_CAP
+                pslot = jnp.minimum(lanes.vol_depth, cap - 1)
+                oh = (jax.nn.one_hot(pslot, cap, dtype=bool)
+                      & push[:, None])
+                vol_density = jnp.where(oh[..., None],
+                                        material.density[:, None, :],
+                                        lanes.vol_density)
+                vol_scattering = jnp.where(
+                    oh[..., None], material.scattering[:, None, :],
+                    lanes.vol_scattering)
+                vol_aniso = jnp.where(oh, material.scanisotropy[:, None],
+                                      lanes.vol_aniso)
+                vol_depth = jnp.where(
+                    push, jnp.minimum(lanes.vol_depth + 1, cap),
+                    jnp.where(pop, jnp.maximum(lanes.vol_depth - 1, 0),
+                              lanes.vol_depth))
+                vol_kwargs = dict(vol_density=vol_density,
+                                  vol_scattering=vol_scattering,
+                                  vol_aniso=vol_aniso,
+                                  vol_depth=vol_depth)
+
+            ro_s = jnp.where(shade_m[:, None], position, lanes.ro)
+            rd_s = jnp.where(shade_m[:, None], incoming, lanes.rd)
+
+            # volume interaction (lockstep pathmis volume branch)
+            if has_volumes:
+                vol = alive & in_volume
+                slot = jnp.maximum(lanes.vol_depth - 1, 0)
+                take = lambda a: jnp.take_along_axis(
+                    a, slot[:, None, None] if a.ndim == 3
+                    else slot[:, None], axis=1)[:, 0]
+                top_density = take(lanes.vol_density)
+                top_scat = take(lanes.vol_scattering)
+                top_aniso = take(lanes.vol_aniso)
+                position_v = lanes.ro + lanes.rd * tdist[:, None]
+                outgoing_v = -lanes.rd
+                r_cv, rng = R.rand1f_if(rng, vol)
+                use_scat = r_cv < 0.5
+                rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+                rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+                inc_scat = B.sample_scattering(top_aniso, outgoing_v,
+                                               rn2_v)
+                if has_lights:
+                    ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                    rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    inc_lv = sample_lights(flat, lights, meta, position_v,
+                                           rl_v, rel_v, ruv_v)
+                    incoming_v = jnp.where(use_scat[:, None], inc_scat,
+                                           inc_lv)
+                else:
+                    incoming_v = inc_scat
+                f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                        outgoing_v, incoming_v)
+                pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                                 outgoing_v, incoming_v)
+                if has_lights:
+                    pdf_vl = sample_lights_pdf(flat, lights, meta,
+                                               position_v, incoming_v)
+                    pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+                else:
+                    pdf_v = 0.5 * pdf_vs
+                safe_pv = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[:, None]
+                w_v = lanes.weight * f_v / safe_pv
+                w_v = jnp.where((pdf_v == 0.0)[:, None],
+                                jnp.full_like(w_v, jnp.nan), w_v)
+                weight = jnp.where(vol[:, None], w_v, weight)
+                next_em = jnp.where(vol, True, next_em)
+                ro_s = jnp.where(vol[:, None], position_v, ro_s)
+                rd_s = jnp.where(vol[:, None], incoming_v, rd_s)
+                processed = shade_m | vol
+            else:
+                vol = jnp.zeros_like(shade_m)
+                processed = shade_m
+
             wzero = M.is_zero3(weight)
             wbad = ~M.isfinite3(weight)
-            alive = alive & ~(shade_m & (wzero | wbad))
+            alive = alive & ~(processed & (wzero | wbad))
 
-            rr = shade_m & alive & (lanes.bounce > 3)
+            rr = processed & alive & (lanes.bounce > 3)
             rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(weight))
             r_rr, rng = R.rand1f_if(rng, rr)
             rr_die = rr & (r_rr >= rr_prob)
@@ -996,16 +1115,16 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                                weight / safe_rr[:, None], weight)
             alive = alive & ~rr_die
 
-            ro = jnp.where(shade_m[:, None], position, lanes.ro)
-            rd = jnp.where(shade_m[:, None], incoming, lanes.rd)
+            ro = ro_s
+            rd = rd_s
             if has_opacity:
                 ro = jnp.where(op_skip[:, None],
                                position + lanes.rd * 1e-2, ro)
 
-            bounce = jnp.where(shade_m & alive, lanes.bounce + 1,
+            bounce = jnp.where(processed & alive, lanes.bounce + 1,
                                lanes.bounce)
             cont = alive & (op_skip | (bounce < params.bounces)) \
-                & (shade_m | op_skip)
+                & (processed | op_skip)
             pix = jnp.where(cont, lanes.pix, -1)
 
             # fused scatters (per-lane clamp + NaN scrub)
@@ -1029,7 +1148,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             return (PathmisLanes(pix=pix, ro=ro, rd=rd, weight=weight,
                                  radiance=radiance, bounce=bounce,
                                  opbounce=lanes.opbounce,
-                                 next_em=next_em, rng=rng),
+                                 next_em=next_em, rng=rng, **vol_kwargs),
                     img, albedo_img, normal_img, hits_img)
 
         stages = (shade_pre, shade_mid, shade_post)
@@ -1042,18 +1161,26 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             hit, inst_g, elem_g, uv_g, dist = self._traverse(ro, rd)
             shape = flat.inst_shape[jnp.maximum(inst_g, 0)]
             elem_l = elem_g - flat.shape_elem_start[shape]
-            return hit, inst_g, elem_l, uv_g
+            return hit, inst_g, elem_l, uv_g, dist
         isec = self._intersect_dense()(flat, ro, rd)
-        return isec.hit, isec.instance, isec.element, isec.uv
+        return isec.hit, isec.instance, isec.element, isec.uv, \
+            isec.distance
 
     def render_sample(self, flat, lights, sample_idx: int):
         npix = self.width * self.height
         lanes_p = self._raygen()(flat, sample_idx)
+        vol = {}
+        if self.features.has_volumes:
+            vol = dict(vol_density=lanes_p.vol_density,
+                       vol_scattering=lanes_p.vol_scattering,
+                       vol_aniso=lanes_p.vol_aniso,
+                       vol_depth=lanes_p.vol_depth)
         lanes = PathmisLanes(
             pix=lanes_p.pix, ro=lanes_p.ro, rd=lanes_p.rd,
             weight=lanes_p.weight, radiance=lanes_p.radiance,
             bounce=lanes_p.bounce, opbounce=lanes_p.opbounce,
-            next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng)
+            next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng,
+            **vol)
         shade_pre, shade_mid, shade_post = self._mis_stages()
         gather = self._gather()
 
@@ -1064,21 +1191,22 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
 
         max_iters = self.params.bounces + 32
         for it in range(max_iters):
-            hit, inst_g, elem_l, uv_g = self._intersect_any(
+            hit, inst_g, elem_l, uv_g, dist = self._intersect_any(
                 flat, lanes.ro, lanes.rd)
-            lanes, flags, position, inc_l, alb, nrm, hit_aov = shade_pre(
-                flat, lights, lanes, hit, inst_g, elem_l, uv_g)
-            hit_c, inst_c, elem_c, uv_c = self._intersect_any(
+            (lanes, flags, position, inc_l, alb, nrm, hit_aov,
+             tdist) = shade_pre(flat, lights, lanes, hit, inst_g, elem_l,
+                                uv_g, dist)
+            hit_c, inst_c, elem_c, uv_c, _ = self._intersect_any(
                 flat, position, inc_l)
             lanes, inc_b = shade_mid(
                 flat, lights, lanes, flags, position, inc_l,
                 hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit)
-            hit_b, inst_b, elem_b, uv_b = self._intersect_any(
+            hit_b, inst_b, elem_b, uv_b, _ = self._intersect_any(
                 flat, position, inc_b)
             lanes, img, albedo, normal, hits = shade_post(
                 flat, lights, lanes, flags, position, inc_b,
                 hit_b, inst_b, elem_b, uv_b, inst_g, elem_l, uv_g, hit,
-                img, albedo, normal, hits, alb, nrm, hit_aov,
+                tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
                 first_bounce=(it == 0))
             live = np.asarray(lanes.pix >= 0)
             nlive = int(live.sum())
