@@ -83,3 +83,19 @@ def test_wavefront_pathmis_matches_lockstep():
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 1.5e-2
     assert np.abs(img - ref).mean() < 0.08
+
+
+def test_wavefront_pathdirect_matches_lockstep():
+    from yocto_tpu.trace.wavefront import WavefrontPathdirectRenderer
+
+    # glass sphere: exercises the delta branch AND the volume stack
+    scene = _glass_cornell()
+    base = dict(resolution=32, samples=12, bounces=4,
+                sampler=SamplerType.pathdirect)
+    ref = get_image(Renderer(scene, TraceParams(**base)).render())[..., :3]
+    wf = WavefrontPathdirectRenderer(scene,
+                                     TraceParams(**base, spp_batch=4))
+    img = np.asarray(wf.render().image)[..., :3]
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 1.5e-2
+    assert np.abs(img - ref).mean() < 0.08

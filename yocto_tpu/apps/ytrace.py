@@ -142,18 +142,21 @@ def main(argv=None):
             len(scene.shapes[i.shape].quads))
         for i in scene.instances if 0 <= i.shape < len(scene.shapes))
     from ..trace.params import SamplerType as _ST
-    wf_auto = (params.sampler in (_ST.path, _ST.pathtest, _ST.pathmis)
+    wf_auto = (params.sampler in (_ST.path, _ST.pathtest, _ST.pathmis,
+                                  _ST.pathdirect)
                and n_cands > 4096 and not params.nocaustics)
     use_wavefront = (args.wavefront == "on"
                      or (args.wavefront == "auto" and wf_auto))
     with SimpleTimer("build renderer"):
         if use_wavefront:
             import dataclasses
-            from ..trace.wavefront import (WavefrontPathmisRenderer,
+            from ..trace.wavefront import (WavefrontPathdirectRenderer,
+                                           WavefrontPathmisRenderer,
                                            WavefrontRenderer)
             spp = args.sppbatch or max(params.batch, 4)
-            cls = (WavefrontPathmisRenderer
-                   if params.sampler == _ST.pathmis else WavefrontRenderer)
+            cls = {_ST.pathmis: WavefrontPathmisRenderer,
+                   _ST.pathdirect: WavefrontPathdirectRenderer}.get(
+                       params.sampler, WavefrontRenderer)
             try:
                 renderer = cls(
                     scene, dataclasses.replace(params, spp_batch=spp))

@@ -1155,6 +1155,270 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         self._jits[key] = stages
         return stages
 
+    def _direct_stages(self):
+        """shade_post for the pathdirect estimator (see
+        WavefrontPathdirectRenderer); built here so it shares `surface`/
+        `emission_at` helpers' closure environment via _mis_stages'
+        feature gating pattern."""
+        key = "direct_stages"
+        if key in self._jits:
+            return self._jits[key]
+        params, feat = self.params, self.features
+        meta = self.meta
+        has_lights = meta.n_lights > 0
+        has_delta = feat.has_delta
+        has_opacity = feat.has_opacity
+        has_volumes = feat.has_volumes
+        types = feat.mat_types
+        clamp = params.clamp
+        from ..ops import shading as SH
+        from .sceneval import is_volumetric_instance
+
+        def surface(flat, lanes, hit, inst_g, elem_g, uv_g):
+            inst = jnp.maximum(inst_g, 0)
+            shape = flat.inst_shape[inst]
+            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            outgoing = -lanes.rd
+            position = eval_shading_position(flat, inst, gelem, uv_g,
+                                             outgoing)
+            normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
+                                         features=feat)
+            material = eval_material(flat, inst, gelem, uv_g, features=feat)
+            return inst, position, normal, material, outgoing
+
+        def emission_at(flat, direction, hit, inst_g, elem_g, uv_g):
+            inst = jnp.maximum(inst_g, 0)
+            shape = flat.inst_shape[inst]
+            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            mat = eval_material(flat, inst, gelem, uv_g, features=feat)
+            nrm = eval_shading_normal(flat, inst, gelem, uv_g, -direction,
+                                      features=feat)
+            em = B.eval_emission(mat, nrm, -direction)
+            if flat.env_frame.shape[0] > 0:
+                env = eval_environment(flat, direction)
+            else:
+                env = jnp.zeros_like(em)
+            return jnp.where(hit[:, None], em, env)
+
+        @functools.partial(jax.jit, static_argnames=("first_bounce",))
+        def shade_post(flat, lights, lanes: PathmisLanes, flags, position,
+                       inc_d, hit_c, inst_c, elem_c, uv_c, inst_g, elem_g,
+                       uv_g, hit, tdist, img, albedo_img, normal_img,
+                       hits_img, albedo, normal_aov, hit_aov,
+                       first_bounce):
+            """NEE contribution (plain 1/pdf) + 50/50 light/BSDF
+            continuation with the combined pdf (pathtrace.
+            make_pathdirect_sampler body, after the main intersection)."""
+            alive, shade_m, op_skip, delta, nd, in_volume = [
+                flags[:, i] != 0 for i in range(6)]
+            inst, _, normal, material, outgoing = surface(
+                flat, lanes, hit, inst_g, elem_g, uv_g)
+            rng = lanes.rng
+            radiance = lanes.radiance
+            weight = lanes.weight
+
+            # --- direct lighting: f * em / pdf_light, no MIS weight
+            if has_lights:
+                pdf_d = sample_lights_pdf(flat, lights, meta, position,
+                                          inc_d)
+                f_d = B.eval_bsdfcos(material, normal, outgoing, inc_d,
+                                     types=types)
+                ok_d = nd & ~M.is_zero3(f_d) & (pdf_d > 0.0)
+                em_d = emission_at(flat, inc_d, hit_c, inst_c, elem_c,
+                                   uv_c)
+                safe_pd = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[:, None]
+                radiance = jnp.where(
+                    ok_d[:, None],
+                    radiance + weight * f_d * em_d / safe_pd, radiance)
+            next_em = jnp.where(shade_m, delta, lanes.next_em)
+
+            # --- continuation: 50/50 light/BSDF, combined pdf
+            r_choice, rng = R.rand1f_if(rng, nd)
+            use_bsdf = r_choice < 0.5
+            rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
+            rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
+            inc_bsdf = B.sample_bsdfcos(material, normal, outgoing, rnl,
+                                        rn2, types=types)
+            if has_lights:
+                ruv, rng = R.rand2f_if(rng, nd & ~use_bsdf)
+                rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+                rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
+                inc_light = sample_lights(flat, lights, meta, position,
+                                          rl, rel, ruv)
+                incoming_nd = jnp.where(use_bsdf[:, None], inc_bsdf,
+                                        inc_light)
+            else:
+                incoming_nd = inc_bsdf
+            nd_zero = nd & M.is_zero3(incoming_nd)
+            nd_ok = nd & ~nd_zero
+            f_nd = B.eval_bsdfcos(material, normal, outgoing, incoming_nd,
+                                  types=types)
+            pdf_b = B.sample_bsdfcos_pdf(material, normal, outgoing,
+                                         incoming_nd, types=types)
+            if has_lights:
+                pdf_l = sample_lights_pdf(flat, lights, meta, position,
+                                          incoming_nd)
+                pdf_nd = 0.5 * pdf_b + 0.5 * pdf_l
+            else:
+                pdf_nd = 0.5 * pdf_b
+            safe_pdf_nd = jnp.where(pdf_nd == 0.0, 1.0, pdf_nd)[:, None]
+            weight = jnp.where(nd_ok[:, None],
+                               weight * f_nd / safe_pdf_nd, weight)
+            incoming = incoming_nd
+
+            if has_delta:
+                dl = shade_m & delta
+                r_delta, rng = R.rand1f_if(rng, dl)
+                inc_delta = B.sample_delta(material, normal, outgoing,
+                                           r_delta, types=types)
+                dl_zero = dl & M.is_zero3(inc_delta)
+                f_dl = B.eval_delta(material, normal, outgoing, inc_delta,
+                                    types=types)
+                pdf_dl = B.sample_delta_pdf(material, normal, outgoing,
+                                            inc_delta, types=types)
+                safe_dl = jnp.where(pdf_dl == 0.0, 1.0, pdf_dl)[:, None]
+                weight = jnp.where((dl & ~dl_zero)[:, None],
+                                   weight * f_dl / safe_dl, weight)
+                incoming = jnp.where(delta[:, None], inc_delta, incoming)
+                alive = alive & ~(nd_zero | dl_zero)
+            else:
+                alive = alive & ~nd_zero
+
+            # volume stack update on transmission
+            vol_kwargs = {}
+            if has_volumes:
+                crossed = (M.dot(normal, outgoing)
+                           * M.dot(normal, incoming)) < 0.0
+                vol_change = shade_m & alive & crossed \
+                    & is_volumetric_instance(flat, inst)
+                push = vol_change & (lanes.vol_depth == 0)
+                pop = vol_change & (lanes.vol_depth > 0)
+                cap = VOLUME_STACK_CAP
+                pslot = jnp.minimum(lanes.vol_depth, cap - 1)
+                oh = (jax.nn.one_hot(pslot, cap, dtype=bool)
+                      & push[:, None])
+                vol_density = jnp.where(oh[..., None],
+                                        material.density[:, None, :],
+                                        lanes.vol_density)
+                vol_scattering = jnp.where(
+                    oh[..., None], material.scattering[:, None, :],
+                    lanes.vol_scattering)
+                vol_aniso = jnp.where(oh, material.scanisotropy[:, None],
+                                      lanes.vol_aniso)
+                vol_depth = jnp.where(
+                    push, jnp.minimum(lanes.vol_depth + 1, cap),
+                    jnp.where(pop, jnp.maximum(lanes.vol_depth - 1, 0),
+                              lanes.vol_depth))
+                vol_kwargs = dict(vol_density=vol_density,
+                                  vol_scattering=vol_scattering,
+                                  vol_aniso=vol_aniso,
+                                  vol_depth=vol_depth)
+
+            ro_s = jnp.where(shade_m[:, None], position, lanes.ro)
+            rd_s = jnp.where(shade_m[:, None], incoming, lanes.rd)
+
+            # volume interaction (lockstep pathdirect volume branch)
+            if has_volumes:
+                vol = alive & in_volume
+                slot = jnp.maximum(lanes.vol_depth - 1, 0)
+                take = lambda a: jnp.take_along_axis(
+                    a, slot[:, None, None] if a.ndim == 3
+                    else slot[:, None], axis=1)[:, 0]
+                top_density = take(lanes.vol_density)
+                top_scat = take(lanes.vol_scattering)
+                top_aniso = take(lanes.vol_aniso)
+                position_v = lanes.ro + lanes.rd * tdist[:, None]
+                outgoing_v = -lanes.rd
+                r_cv, rng = R.rand1f_if(rng, vol)
+                use_scat = r_cv < 0.5
+                rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+                rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+                inc_scat = B.sample_scattering(top_aniso, outgoing_v,
+                                               rn2_v)
+                if has_lights:
+                    ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                    rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    inc_lv = sample_lights(flat, lights, meta, position_v,
+                                           rl_v, rel_v, ruv_v)
+                    incoming_v = jnp.where(use_scat[:, None], inc_scat,
+                                           inc_lv)
+                else:
+                    incoming_v = inc_scat
+                v_zero = vol & M.is_zero3(incoming_v)
+                v_ok = vol & ~v_zero
+                f_v = B.eval_scattering(top_density, top_scat, top_aniso,
+                                        outgoing_v, incoming_v)
+                pdf_vs = B.sample_scattering_pdf(top_density, top_aniso,
+                                                 outgoing_v, incoming_v)
+                if has_lights:
+                    pdf_vl = sample_lights_pdf(flat, lights, meta,
+                                               position_v, incoming_v)
+                    pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+                else:
+                    pdf_v = 0.5 * pdf_vs
+                safe_pv = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[:, None]
+                weight = jnp.where(v_ok[:, None],
+                                   weight * f_v / safe_pv, weight)
+                alive = alive & ~v_zero
+                ro_s = jnp.where(v_ok[:, None], position_v, ro_s)
+                rd_s = jnp.where(v_ok[:, None], incoming_v, rd_s)
+                processed = shade_m | vol
+            else:
+                vol = jnp.zeros_like(shade_m)
+                processed = shade_m
+
+            wzero = M.is_zero3(weight)
+            wbad = ~M.isfinite3(weight)
+            alive = alive & ~(processed & (wzero | wbad))
+
+            rr = processed & alive & (lanes.bounce > 3)
+            rr_prob = jnp.minimum(jnp.float32(0.99), M.maxc(weight))
+            r_rr, rng = R.rand1f_if(rng, rr)
+            rr_die = rr & (r_rr >= rr_prob)
+            safe_rr = jnp.where(rr_prob == 0.0, 1.0, rr_prob)
+            weight = jnp.where((rr & ~rr_die)[:, None],
+                               weight / safe_rr[:, None], weight)
+            alive = alive & ~rr_die
+
+            ro = ro_s
+            rd = rd_s
+            if has_opacity:
+                ro = jnp.where(op_skip[:, None],
+                               position + lanes.rd * 1e-2, ro)
+
+            bounce = jnp.where(processed & alive, lanes.bounce + 1,
+                               lanes.bounce)
+            cont = alive & (op_skip | (bounce < params.bounces)) \
+                & (processed | op_skip)
+            pix = jnp.where(cont, lanes.pix, -1)
+
+            dead = (lanes.pix >= 0) & (pix < 0)
+            finite = M.isfinite3(radiance)[:, None]
+            rad = jnp.where(finite, radiance, 0.0)
+            mxr = M.maxc(rad)
+            rscale = jnp.where(mxr > clamp,
+                               clamp / jnp.maximum(mxr, 1e-20), 1.0)
+            rad = rad * rscale[:, None]
+            didx = jnp.where(dead, lanes.pix, 0)
+            img = img.at[didx].add(jnp.where(dead[:, None], rad, 0.0))
+            if first_bounce:
+                okf = (lanes.pix >= 0) & hit_aov
+                fidx = jnp.where(okf, lanes.pix, 0)
+                albedo_img = albedo_img.at[fidx].add(
+                    jnp.where(okf[:, None], albedo, 0.0))
+                normal_img = normal_img.at[fidx].add(
+                    jnp.where(okf[:, None], normal_aov, 0.0))
+                hits_img = hits_img.at[fidx].add(okf.astype(jnp.int32))
+            return (PathmisLanes(pix=pix, ro=ro, rd=rd, weight=weight,
+                                 radiance=radiance, bounce=bounce,
+                                 opbounce=lanes.opbounce,
+                                 next_em=next_em, rng=rng, **vol_kwargs),
+                    img, albedo_img, normal_img, hits_img)
+
+        self._jits[key] = shade_post
+        return shade_post
+
     def _intersect_any(self, flat, ro, rd):
         """Closest hit via the scene-size-appropriate path."""
         if self.use_bvh:
@@ -1206,6 +1470,74 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             lanes, img, albedo, normal, hits = shade_post(
                 flat, lights, lanes, flags, position, inc_b,
                 hit_b, inst_b, elem_b, uv_b, inst_g, elem_l, uv_g, hit,
+                tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
+                first_bounce=(it == 0))
+            live = np.asarray(lanes.pix >= 0)
+            nlive = int(live.sum())
+            if nlive == 0:
+                break
+            bucket = _next_bucket(nlive)
+            if bucket < lanes.pix.shape[0]:
+                idx_np = np.nonzero(live)[0]
+                dead = np.nonzero(~live)[0]
+                pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
+                idx_np = np.concatenate(
+                    [idx_np, np.full(bucket - nlive, pad_val, np.int64)])
+                lanes = gather(lanes, jnp.asarray(idx_np, jnp.int32))
+        else:
+            scatter_img = self._scatter_img()
+            img = scatter_img(img, lanes.pix, lanes.radiance,
+                              jnp.full_like(lanes.pix, -1))
+        return img, albedo, normal, hits
+
+
+class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
+    """`trace_pathdirect` (yocto_trace.cpp:599-767) over compacted queues:
+    NEE at every rough vertex with the plain 1/pdf_light weight, plus a
+    50/50 light/BSDF continuation divided by the combined pdf.
+
+    Reuses the pathmis shade_pre unchanged (identical RNG draw order up
+    through the NEE direction: transmittance, opacity, then the light
+    triple on non-delta lanes), then needs only ONE connection traversal
+    per bounce — pathdirect has no BSDF-strategy connection — followed by
+    a single fused shade_post."""
+
+    def render_sample(self, flat, lights, sample_idx: int):
+        npix = self.width * self.height
+        lanes_p = self._raygen()(flat, sample_idx)
+        vol = {}
+        if self.features.has_volumes:
+            vol = dict(vol_density=lanes_p.vol_density,
+                       vol_scattering=lanes_p.vol_scattering,
+                       vol_aniso=lanes_p.vol_aniso,
+                       vol_depth=lanes_p.vol_depth)
+        lanes = PathmisLanes(
+            pix=lanes_p.pix, ro=lanes_p.ro, rd=lanes_p.rd,
+            weight=lanes_p.weight, radiance=lanes_p.radiance,
+            bounce=lanes_p.bounce, opbounce=lanes_p.opbounce,
+            next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng,
+            **vol)
+        shade_pre = self._mis_stages()[0]
+        shade_post = self._direct_stages()
+        gather = self._gather()
+
+        img = jnp.zeros((npix, 3), jnp.float32)
+        albedo = jnp.zeros((npix, 3), jnp.float32)
+        normal = jnp.zeros((npix, 3), jnp.float32)
+        hits = jnp.zeros(npix, jnp.int32)
+
+        max_iters = self.params.bounces + 32
+        for it in range(max_iters):
+            hit, inst_g, elem_l, uv_g, dist = self._intersect_any(
+                flat, lanes.ro, lanes.rd)
+            (lanes, flags, position, inc_d, alb, nrm, hit_aov,
+             tdist) = shade_pre(flat, lights, lanes, hit, inst_g, elem_l,
+                                uv_g, dist)
+            hit_c, inst_c, elem_c, uv_c, _ = self._intersect_any(
+                flat, position, inc_d)
+            lanes, img, albedo, normal, hits = shade_post(
+                flat, lights, lanes, flags, position, inc_d,
+                hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit,
                 tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
                 first_bounce=(it == 0))
             live = np.asarray(lanes.pix >= 0)
