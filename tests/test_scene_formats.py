@@ -125,6 +125,37 @@ def test_gltf_roundtrip_cornell(tmp_path):
     assert np.isfinite(img).all() and img.max() > 0
 
 
+def test_glb_writer_roundtrip(tmp_path):
+    """Write a textured scene as a single-file GLB; load it back."""
+    from yocto_tpu.models.scene import TextureData
+
+    scene = make_cornellbox()
+    # add a texture so the embedded-PNG path is exercised
+    px = np.zeros((8, 8, 4), np.uint8)
+    px[::2, ::2] = [255, 0, 0, 255]
+    px[1::2, 1::2] = [0, 255, 0, 255]
+    scene.textures.append(TextureData(pixelsb=px.reshape(-1, 4),
+                                      width=8, height=8))
+    scene.texture_names.append("checker")
+    scene.materials[0].color_tex = 0
+    p = str(tmp_path / "cornell.glb")
+    save_scene(p, scene)
+    # single file: no sidecar .bin / .png
+    assert sorted(x.name for x in tmp_path.iterdir()) == ["cornell.glb"]
+    scene2 = load_scene(p)
+    assert len(scene2.instances) == len(scene.instances)
+    assert len(scene2.cameras) == 1
+    for s1, s2 in zip(scene.shapes, scene2.shapes):
+        np.testing.assert_allclose(
+            np.asarray(s1.positions), np.asarray(s2.positions), atol=1e-6)
+    # embedded texture decodes to the original pixels
+    assert len(scene2.textures) == 1
+    t2 = scene2.textures[0]
+    assert (t2.width, t2.height) == (8, 8)
+    np.testing.assert_array_equal(
+        np.asarray(t2.pixelsb).reshape(8, 8, 4), px)
+
+
 def test_gltf_glb_and_data_uri(tmp_path):
     """Minimal GLB container with an embedded buffer parses."""
     import base64

@@ -363,9 +363,12 @@ def load_gltf_scene(path: str) -> SceneData:
 
 
 def save_gltf_scene(path: str, scene: SceneData) -> None:
-    """glTF JSON + one .bin buffer; textures saved as PNGs next to it."""
+    """glTF JSON + one .bin buffer, textures saved as PNGs next to it —
+    or, for a `.glb` path, the single-file binary container with the
+    buffer as the BIN chunk and textures embedded as PNG bufferViews."""
     dirname = os.path.dirname(path) or "."
     base = os.path.splitext(os.path.basename(path))[0]
+    is_glb = path.lower().endswith(".glb")
     os.makedirs(dirname, exist_ok=True)
 
     bin_chunks = []
@@ -418,10 +421,20 @@ def save_gltf_scene(path: str, scene: SceneData) -> None:
                 px = np.asarray(C.rgb_to_srgb(jnp.asarray(tex.pixelsf)))
             else:
                 px = np.zeros((1, 1, 4), np.float32)
-            save_image(os.path.join(dirname, uri),
-                       px.reshape(tex.height or 1, tex.width or 1, 4),
-                       linear=False)
-            gltf["images"].append({"uri": uri})
+            px = px.reshape(tex.height or 1, tex.width or 1, 4)
+            if is_glb:
+                import io as _io
+                from PIL import Image as _Image
+                buf = _io.BytesIO()
+                _Image.fromarray(
+                    np.clip(px * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                ).save(buf, format="PNG")
+                view = add_data(np.frombuffer(buf.getvalue(), np.uint8))
+                gltf["images"].append({"bufferView": view,
+                                       "mimeType": "image/png"})
+            else:
+                save_image(os.path.join(dirname, uri), px, linear=False)
+                gltf["images"].append({"uri": uri})
             gltf["textures"].append({"sampler": 0, "source": tidx})
 
     # materials
@@ -546,6 +559,20 @@ def save_gltf_scene(path: str, scene: SceneData) -> None:
     gltf["scenes"] = [{"nodes": roots}]
     gltf["scene"] = 0
 
+    if is_glb:
+        gltf["buffers"].append({"byteLength": bin_len})
+        js = json.dumps(gltf, separators=(",", ":")).encode()
+        js += b" " * ((-len(js)) % 4)          # JSON chunks pad with 0x20
+        bin_blob = b"".join(bin_chunks)
+        bin_blob += b"\x00" * ((-len(bin_blob)) % 4)
+        total = 12 + 8 + len(js) + 8 + len(bin_blob)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<III", 0x46546C67, 2, total))
+            f.write(struct.pack("<II", len(js), 0x4E4F534A))   # 'JSON'
+            f.write(js)
+            f.write(struct.pack("<II", len(bin_blob), 0x004E4942))  # 'BIN'
+            f.write(bin_blob)
+        return
     bin_uri = base + ".bin"
     gltf["buffers"].append({"uri": bin_uri, "byteLength": bin_len})
     with open(os.path.join(dirname, bin_uri), "wb") as f:

@@ -497,7 +497,7 @@ def save_scene(path: str, scene: SceneData) -> None:
     elif ext == ".pbrt":
         from .pbrt import save_pbrt_scene
         save_pbrt_scene(path, scene)
-    elif ext in (".gltf",):
+    elif ext in (".gltf", ".glb"):
         from .gltf import save_gltf_scene
         save_gltf_scene(path, scene)
     else:
