@@ -96,10 +96,14 @@ def intersect_scene_bruteforce(scene: FlatScene, ro, rd,
     local_d = (rd[:, None, 0:1] * inv[None, :, 0, :]
                + rd[:, None, 1:2] * inv[None, :, 1, :]
                + rd[:, None, 2:3] * inv[None, :, 2, :])
-    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
-                              local_o.shape[:-1])
-    tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32),
-                              local_o.shape[:-1])
+    def per_ray(v):
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 1:  # per-lane bound -> broadcast over candidates
+            v = v[:, None]
+        return jnp.broadcast_to(v, local_o.shape[:-1])
+
+    tmin_b = per_ray(tmin)
+    tmax_b = per_ray(tmax)
 
     hit, uv, dist = _intersect_element(
         local_o, local_d, tmin_b, tmax_b, p[None], rads[None], kind[None],

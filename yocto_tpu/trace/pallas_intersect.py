@@ -557,8 +557,14 @@ def make_pallas_bruteforce_intersector(scene_host: SceneData, kinds=None,
     def intersect(scene, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
         n = ro.shape[0]
         rpad = max(RAY_TILE, ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE)
-        tmin_c = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n, 1))
-        tmax_c = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n, 1))
+        def col(v):
+            v = jnp.asarray(v, jnp.float32)
+            if v.ndim == 1:
+                v = v[:, None]
+            return jnp.broadcast_to(v, (n, 1))
+
+        tmin_c = col(tmin)
+        tmax_c = col(tmax)
         rays = jnp.concatenate([ro, rd, tmin_c, tmax_c], axis=1)
         if rpad != n:
             rays = jnp.pad(rays, ((0, rpad - n), (0, 0)))

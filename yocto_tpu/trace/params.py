@@ -65,7 +65,8 @@ class TraceParams:
     envhidden: bool = False
     tentfilter: bool = False
     seed: int = TRACE_DEFAULT_SEED
-    embreebvh: bool = False       # accepted for CLI parity; selects nothing
+    embreebvh: bool = False       # reference: use the native fast path;
+    #                               here it forces the cluster intersector
     highqualitybvh: bool = False  # -> SAH build instead of middle split
     noparallel: bool = False
     pratio: int = 8
@@ -76,3 +77,4 @@ class TraceParams:
     exact_rng: bool = True        # bit-exact PCG32 streams per pixel
     spp_batch: int = 1            # samples per device step (>1 implies
     #                               decorrelated per-sample streams)
+    intersector: str = "auto"     # auto|dense|cluster|bvh backend select

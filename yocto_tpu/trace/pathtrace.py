@@ -135,7 +135,8 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
     max_iters = params.bounces + 130
 
     def body(st: PathState) -> PathState:
-        isec = intersect_fn(scene, st.ro, st.rd)
+        isec = intersect_fn(scene, st.ro, st.rd,
+                            tmax=jnp.where(st.alive, M.flt_max, 0.0))
         act = st.alive
         hit_l = act & isec.hit
         Rn = st.ro.shape[0]
@@ -399,7 +400,8 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
     max_iters = params.bounces + 130
 
     def body(st: PathState) -> PathState:
-        isec = intersect_fn(scene, st.ro, st.rd)
+        isec = intersect_fn(scene, st.ro, st.rd,
+                            tmax=jnp.where(st.alive, M.flt_max, 0.0))
         act = st.alive
         miss = act & ~isec.hit
         if has_env:
@@ -530,7 +532,8 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
     max_iters = bounces + 130
 
     def body(st: PathState) -> PathState:
-        isec = intersect_fn(scene, st.ro, st.rd)
+        isec = intersect_fn(scene, st.ro, st.rd,
+                            tmax=jnp.where(st.alive, M.flt_max, 0.0))
         act = st.alive
         miss = act & ~isec.hit
         if diagram:
@@ -749,7 +752,8 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
                 exit_l, st.radiance + st.weight * env0, st.radiance))
         st = st._replace(alive=st.alive & ~exit_l)
 
-        isec = intersect_fn(scene, st.ro, st.rd)
+        isec = intersect_fn(scene, st.ro, st.rd,
+                            tmax=jnp.where(st.alive, M.flt_max, 0.0))
         act = st.alive
         miss = act & ~isec.hit
         if has_env:
@@ -905,7 +909,8 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
     max_iters = params.bounces + 130
 
     def body(st: PathState) -> PathState:
-        isec = intersect_fn(scene, st.ro, st.rd)
+        isec = intersect_fn(scene, st.ro, st.rd,
+                            tmax=jnp.where(st.alive, M.flt_max, 0.0))
         act = st.alive
         hit_l = act & isec.hit
         false_ = jnp.zeros_like(hit_l)
@@ -1172,7 +1177,8 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
             this_pdf * this_pdf + other_pdf * other_pdf)
 
     def body(st: PathState) -> PathState:
-        isec = intersect_fn(scene, st.ro, st.rd)
+        isec = intersect_fn(scene, st.ro, st.rd,
+                            tmax=jnp.where(st.alive, M.flt_max, 0.0))
         act = st.alive
         hit_l = act & isec.hit
         false_ = jnp.zeros_like(hit_l)

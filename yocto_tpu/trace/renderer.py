@@ -276,17 +276,39 @@ class Renderer:
                 len(scene.shapes[i.shape].triangles),
                 len(scene.shapes[i.shape].quads))
             for i in scene.instances)
-        # tiny scenes: the dense sweep beats per-ray traversal on TPU
-        if params.bruteforce or n_candidates <= 4096:
-            self.bvh = None
-        else:
+        # intersector selection (params.intersector overrides "auto"):
+        #   <=4096 candidates -> fused dense Pallas sweep (TPU)
+        #   larger, TPU       -> cluster-binned Pallas pipeline (the
+        #                        "Embree fast path"; also what embreebvh
+        #                        requests) with threaded-BVH fallback
+        #   CPU/tests         -> pure-jnp brute force / threaded BVH
+        on_tpu = jax.default_backend() != "cpu"
+        mode = params.intersector
+        if mode == "auto":
+            if params.bruteforce:
+                mode = "dense"
+            elif n_candidates <= 4096:
+                mode = "dense"
+            elif on_tpu or params.embreebvh:
+                mode = "cluster"
+            else:
+                mode = "bvh"
+        self.bvh = None
+        self._isect = None
+        self._pallas_sampler = None
+        if mode == "cluster":
+            from .pallas_cluster import make_cluster_intersector
+            self._isect = make_cluster_intersector(
+                scene, kinds=self.features.kinds,
+                highquality=params.highqualitybvh)
+            if self._isect is None:
+                mode = "dense" if n_candidates <= 4096 else "bvh"
+        if mode == "bvh":
             from .bvh import build_scene_bvh
             self.bvh = build_scene_bvh(scene, params.highqualitybvh)
         # fused Pallas sweep for the dense path (TPU only; the CPU/test
         # path keeps the pure-jnp reference intersector)
-        self._isect = None
-        self._pallas_sampler = None
-        if self.bvh is None and jax.default_backend() != "cpu":
+        if mode == "dense" and on_tpu:
             # full path-tracing megakernel for qualifying small matte
             # scenes: one kernel per sample instead of ~50 XLA kernels
             # per bounce (same draw sites/streams as the lockstep sampler)
