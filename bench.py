@@ -1,28 +1,57 @@
-"""Benchmark: Mrays/s per chip on the Cornell box path tracer.
+"""Benchmark: paths/s per chip on the three BASELINE workload tiers.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Primary metric stays the config-1 Cornell-box fused
+megakernel (`cornellbox_path_Mpaths_per_sec` / `vs_baseline`); extra keys
+report the corpus-scale fight the megakernel number hides (VERDICT r1):
 
-The workload is BASELINE.json config 1/2 territory: Cornell box, path
-sampler with MIS, 8 bounces. Rays/s counts camera rays (paths) per second
-of steady-state sampling, i.e. full paths traced to termination — the same
-accounting a `spp * W * H / wall` measurement of the reference gives.
+  config2_Mpaths / config2_vs_ref   Cornell + GGX metal/glass/glossy
+                                    spheres, 512x512, full PBR + volumes
+                                    (lockstep sampler + cluster
+                                    intersector, one dispatch per sample)
+  features1_Mpaths / features1_vs_ref
+                                    reference tests/features1 (444k
+                                    candidates, textures + env light),
+                                    wavefront pipeline + cluster
+                                    intersector
+  mfu_pct                           algorithmic-FLOP model x measured
+                                    paths/s / chip peak (bf16): the
+                                    honest "how much of the chip does
+                                    ray tracing use" number
+  vpu_util_pct                      measured candidate-test throughput of
+                                    the sweep kernel / VPU f32 peak: how
+                                    close the hot kernel runs to its own
+                                    speed of light
 
-vs_baseline compares against the reference CPU renderer measured on this
-machine (see BASELINE.md): ytrace-equivalent paths/s on all host cores.
+Reference CPU numbers (this host, 1 core, reference build from
+/root/reference — see BASELINE.md): Cornell 0.5585, config2 0.197,
+features1 0.24 Mpaths/s.
 """
 
 import json
 import os
-import sys
 import time
 
-REF_CPU_PATHS_PER_SEC = None  # filled from BASELINE.md measurement below
-# Reference CPU measurement (this machine, all cores): Cornell box 256x256,
-# 64 spp, 8 bounces, path sampler -> see BASELINE.md. Updated when measured.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+REF = {
+    "cornell": None,   # read from BASELINE.md marker below
+    "config2": 197e3,
+    "features1": 240e3,
+}
 _REF_FILE = os.path.join(os.path.dirname(__file__), "BASELINE.md")
+FEATURES1 = "/root/reference/tests/features1/features1.json"
+
+# algorithmic-FLOP model per path (what an ideal per-ray tracer does):
+# ~4 surviving bounces x (60 BVH node tests x 27 flops + 8 primitive
+# tests x 90 flops + ~600 shade/light flops)
+FLOPS_PER_PATH = 4 * (60 * 27 + 8 * 90 + 600)
+PEAK_BF16 = 197e12          # v5e MXU peak
+PEAK_VPU_F32 = 0.96e12      # v5e VPU, 8x128 lanes @ ~940 MHz
+OPS_PER_TEST = 90           # transform + Moller-Trumbore (tri-only clusters)
 
 
-def _ref_paths_per_sec(default=2.9e6):
+def _ref_cornell(default=558500.0):
     try:
         with open(_REF_FILE) as f:
             for line in f:
@@ -33,21 +62,8 @@ def _ref_paths_per_sec(default=2.9e6):
     return default
 
 
-def main():
+def _bench_renderer(r, iters, warmup=1):
     import jax
-
-    from yocto_tpu.models.examples import make_cornellbox
-    from yocto_tpu.trace.params import SamplerType, TraceParams
-    from yocto_tpu.trace.renderer import Renderer
-
-    res = int(os.environ.get("BENCH_RES", "256"))
-    warmup = 2
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
-
-    scene = make_cornellbox()
-    params = TraceParams(resolution=res, samples=warmup + iters, bounces=8,
-                         sampler=SamplerType.path)
-    r = Renderer(scene, params)
     state = r.make_state()
     for _ in range(warmup):
         state = r.sample(state)
@@ -57,15 +73,108 @@ def main():
         state = r.sample(state)
     jax.block_until_ready(state.image)
     dt = time.perf_counter() - t0
+    spp = max(1, r.spp_batch)
+    return r.width * r.height * spp * iters / dt
 
-    paths = res * res * iters
-    paths_per_sec = paths / dt
-    ref = _ref_paths_per_sec()
+
+def bench_cornell():
+    from yocto_tpu.models.examples import make_cornellbox
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.renderer import Renderer
+
+    res = int(os.environ.get("BENCH_RES", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    params = TraceParams(resolution=res, samples=iters + 2, bounces=8,
+                         sampler=SamplerType.path)
+    return _bench_renderer(Renderer(make_cornellbox(), params), iters,
+                           warmup=2)
+
+
+def bench_config2():
+    from yocto_tpu.models.examples import make_cornellbox_pbr
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.renderer import Renderer
+
+    params = TraceParams(resolution=512, samples=8, bounces=8,
+                         sampler=SamplerType.path, exact_rng=False,
+                         spp_batch=1)
+    return _bench_renderer(Renderer(make_cornellbox_pbr(), params),
+                           iters=4)
+
+
+def bench_features1():
+    from yocto_tpu.io.sceneio import load_scene
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.wavefront import WavefrontRenderer
+
+    scene = load_scene(FEATURES1)
+    params = TraceParams(resolution=320, samples=64, bounces=8,
+                         sampler=SamplerType.path, spp_batch=8)
+    return _bench_renderer(WavefrontRenderer(scene, params), iters=2)
+
+
+def bench_vpu_util():
+    """Sweep-kernel candidate-test throughput vs VPU peak (full slots)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from yocto_tpu.models.examples import make_cornellbox_pbr
+    from yocto_tpu.trace import pallas_cluster as PC
+    from yocto_tpu.trace.compile import scene_features
+
+    scene = make_cornellbox_pbr()
+    feats = scene_features(scene)
+    isect = PC.make_cluster_intersector(scene, kinds=feats.kinds)
+    C = isect.n_clusters
+    R = 65536
+    ntiles = R // isect.ray_tile
+    rng = np.random.RandomState(0)
+    ro = (rng.rand(R, 3).astype(np.float32) - 0.5) * 2 + [0, 1, 0]
+    rd = rng.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [ro, rd, np.full((R, 1), 1e-4, np.float32),
+         np.full((R, 1), 3.4e38, np.float32),
+         np.full((R, 1), 3.4e38, np.float32),
+         np.zeros((R, 7), np.float32)], axis=1))
+    clist = jnp.tile(jnp.arange(C, dtype=jnp.int32)[None], (ntiles, 1))
+    centry = jnp.zeros((ntiles, C), jnp.float32)
+    cquad = jnp.where(isect.c_quad > 0, 1, 0)[None].repeat(ntiles, 0)
+
+    def run(rays):
+        return PC._run_sweep(rays, isect.prims, clist, centry, cquad,
+                             isect.cluster, isect.kinds, False,
+                             ray_tile=isect.ray_tile)
+    g = jax.jit(run)
+    out = g(rays)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = g(rays)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 4
+    tests = R * C * isect.cluster
+    return tests / dt * OPS_PER_TEST / PEAK_VPU_F32
+
+
+def main():
+    cornell = bench_cornell()
+    config2 = bench_config2()
+    features1 = bench_features1()
+    vpu_util = bench_vpu_util()
+    ref_c = _ref_cornell()
+    mfu = features1 * FLOPS_PER_PATH / PEAK_BF16
     print(json.dumps({
         "metric": "cornellbox_path_Mpaths_per_sec",
-        "value": round(paths_per_sec / 1e6, 4),
+        "value": round(cornell / 1e6, 4),
         "unit": "Mpaths/s/chip",
-        "vs_baseline": round(paths_per_sec / ref, 4),
+        "vs_baseline": round(cornell / ref_c, 4),
+        "config2_Mpaths": round(config2 / 1e6, 4),
+        "config2_vs_ref": round(config2 / REF["config2"], 4),
+        "features1_Mpaths": round(features1 / 1e6, 4),
+        "features1_vs_ref": round(features1 / REF["features1"], 4),
+        "mfu_pct": round(100 * mfu, 4),
+        "vpu_util_pct": round(100 * vpu_util, 2),
     }))
 
 

@@ -79,3 +79,13 @@ def test_make_pixel_seeds_matches_sequential_reference():
         assert int(seeds.state_hi[i]) == int(state) >> 32
         assert int(seeds.state_lo[i]) == int(state) & 0xFFFFFFFF
         assert int(seeds.inc_lo[i]) == int(inc) & 0xFFFFFFFF
+
+
+def test_conductor_eta_table():
+    """Named conductor IOR lookup (yocto_shading.h:1116-1199)."""
+    from yocto_tpu.ops.shading import CONDUCTOR_ETAS, conductor_eta
+    assert len(CONDUCTOR_ETAS) == 40
+    eta, etak = conductor_eta("Au")
+    assert abs(eta[0] - 0.1431189557) < 1e-9
+    assert abs(etak[2] - 1.6032152899) < 1e-9
+    assert conductor_eta("unobtanium") == ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))

@@ -87,3 +87,40 @@ def make_cornellbox() -> SceneData:
         [[-0.25, 1.99, 0.25], [-0.25, 1.99, -0.25], [0.25, 1.99, -0.25],
          [0.25, 1.99, 0.25]]), None, emission=[17, 12, 4])
     return scene
+
+
+def make_cornellbox_pbr() -> SceneData:
+    """Cornell box + three tessellated GGX metal/glass/glossy spheres —
+    the BASELINE.json config-2 workload (full PBR BSDFs, delta + volume
+    machinery active, ~10.4k candidates so the two-level intersector
+    engages)."""
+    from .procedural import make_sphere
+    from .scene import MaterialType
+
+    scene = make_cornellbox()
+    spheres = [
+        ("sphere_metal", 0.3, (0.4, 0.3, 0.3),
+         MaterialData(type=MaterialType.reflective,
+                      color=np.array([0.66, 0.45, 0.34], np.float32),
+                      roughness=0.1)),
+        ("sphere_glass", 0.3, (-0.4, 0.3, 0.5),
+         MaterialData(type=MaterialType.refractive,
+                      color=np.array([1.0, 1.0, 1.0], np.float32),
+                      roughness=0.0)),
+        ("sphere_glossy", 0.25, (0.0, 1.4, -0.3),
+         MaterialData(type=MaterialType.glossy,
+                      color=np.array([0.5, 0.7, 0.5], np.float32),
+                      roughness=0.2)),
+    ]
+    for name, radius, offset, mat in spheres:
+        scene.shapes.append(make_sphere(steps=24, scale=radius))
+        scene.shape_names.append(name)
+        scene.materials.append(mat)
+        scene.material_names.append(name)
+        frame = np.eye(4, 3, dtype=np.float32)
+        frame[3] = offset
+        scene.instances.append(InstanceData(
+            frame=frame, shape=len(scene.shapes) - 1,
+            material=len(scene.materials) - 1))
+        scene.instance_names.append(name)
+    return scene

@@ -58,7 +58,7 @@ from .intersect import RAY_EPS, SceneIntersection
 from .pallas_intersect import _i32
 
 CLUSTER = 256        # candidates per cluster (= sweep block width)
-RAY_TILE = 128       # rays per tile (= sweep block height)
+RAY_TILE = 64        # rays per tile (= sweep block height)
 CLUSTER_CHUNK = 128  # clusters per stage-2 XLA chunk (bounds temporaries)
 BBOX_EPS = 1.00000024  # reference slab-test epsilon (yocto_geometry.h)
 
@@ -408,15 +408,14 @@ def _sweep_kernel(rays_ref, clist_ref, centry_ref, cquad_ref, prims_ref,
 
     def body(carry):
         slot, _ = carry
-        # prefetch the next slot before sweeping this one (pre-sweep
-        # early-out estimate is conservative: bests only improve)
-        nxt_pre = can_improve(slot + 1)
+        # prefetch the next valid slot unconditionally (scalar check only;
+        # the post-sweep early-out may discard it below)
+        nidx = jnp.minimum(slot + 1, max_slots - 1)
+        nxt_pre = (slot + 1 < max_slots) & (clist_ref[0, 0, nidx] >= 0)
 
         @pl.when(nxt_pre)
         def _():
-            fetch(slot + 1,
-                  clist_ref[0, 0, jnp.minimum(slot + 1,
-                                              max_slots - 1)]).start()
+            fetch(slot + 1, clist_ref[0, 0, nidx]).start()
 
         fetch(slot, clist_ref[0, 0, slot]).wait()
         if (2 in kinds) and (3 in kinds):
@@ -501,60 +500,49 @@ def _cluster_mask(ro, rinv, tmin, tmax, lo, hi):
     Same arithmetic as the node test in trace/bvh.py (reference
     intersect_bbox semantics).
     """
-    t_a = (lo[None, :, :] - ro[:, None, :]) * rinv[:, None, :]
-    t_b = (hi[None, :, :] - ro[:, None, :]) * rinv[:, None, :]
-    lo3 = jnp.minimum(t_a, t_b)
-    hi3 = jnp.maximum(t_a, t_b)
-    t0 = jnp.maximum(jnp.maximum(lo3[..., 0], lo3[..., 1]),
-                     jnp.maximum(lo3[..., 2], tmin[:, None]))
-    t1 = jnp.minimum(jnp.minimum(hi3[..., 0], hi3[..., 1]),
-                     jnp.minimum(hi3[..., 2], tmax[:, None]))
+    t0 = jnp.broadcast_to(tmin[:, None], (ro.shape[0], lo.shape[0]))
+    t1 = jnp.broadcast_to(tmax[:, None], (ro.shape[0], lo.shape[0]))
+    # per-component accumulation keeps temporaries 2-D ([R, cc]); a
+    # single broadcast over the trailing axis materializes [R, cc, 3]
+    # slabs, which OOMs at large ray counts
+    for a in range(3):
+        t_a = (lo[None, :, a] - ro[:, a, None]) * rinv[:, a, None]
+        t_b = (hi[None, :, a] - ro[:, a, None]) * rinv[:, a, None]
+        t0 = jnp.maximum(t0, jnp.minimum(t_a, t_b))
+        t1 = jnp.minimum(t1, jnp.maximum(t_a, t_b))
     return t0 <= t1 * BBOX_EPS, t0
 
 
-def _spread2(x):
-    """Interleave-ready 2x bit spread (<= 16 input bits)."""
-    x = (x | (x << 8)) & 0x00FF00FF
-    x = (x | (x << 4)) & 0x0F0F0F0F
-    x = (x | (x << 2)) & 0x33333333
-    x = (x | (x << 1)) & 0x55555555
-    return x
+def ray_sort_keys(ro, rd, bits=6):
+    """Coherence keys: 5-D interleaved morton of (origin xyz, dir theta/
+    phi), each coordinate quantized to the BATCH's own range.
 
-
-def _spread3(x):
-    """Interleave-ready 3x bit spread (<= 10 input bits)."""
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
-def ray_sort_keys(ro, rd, bits_dir=7, bits_org=6):
-    """Coherence keys: morton3(origin) high bits | morton2(dir) low bits.
-
-    Each coordinate is quantized to the BATCH's own range, so camera rays
-    (shared origin, narrow direction fan) collapse the origin bits and
-    spend all direction bits inside the actual field of view, while
-    scattered bounce rays get origin locality from the high bits.
-    Returns int32 keys (non-negative).
+    Interleaving (rather than origin-bits-then-direction-bits) matters:
+    at realistic batch sizes a sort only resolves the top ~20 key bits,
+    and a concatenated key spends all of them on origin — bounce-ray
+    tiles then share a surface patch but span every direction, and their
+    culled-cluster unions stay huge. Interleaved bits split tiles by
+    position AND direction at matched scales. Camera batches (shared
+    origin) collapse the origin bits and sort by direction alone, i.e.
+    2-D image-morton blocks. Returns int32 keys (non-negative).
     """
     theta = jnp.arccos(jnp.clip(rd[:, 1], -1.0, 1.0))
     phi = jnp.arctan2(rd[:, 2], rd[:, 0])
 
-    def quant(v, bits):
+    def quant(v):
         lo = jnp.min(v)
         hi = jnp.max(v)
         scale = (2.0 ** bits - 1.0) / jnp.maximum(hi - lo, 1e-20)
         return jnp.clip((v - lo) * scale, 0.0,
                         2.0 ** bits - 1.0).astype(jnp.int32)
 
-    dkey = (_spread2(quant(theta, bits_dir))
-            | (_spread2(quant(phi, bits_dir)) << 1))      # 2*bits_dir bits
-    okey = (_spread3(quant(ro[:, 0], bits_org))
-            | (_spread3(quant(ro[:, 1], bits_org)) << 1)
-            | (_spread3(quant(ro[:, 2], bits_org)) << 2))  # 3*bits_org bits
-    return (okey << (2 * bits_dir)) | dkey
+    coords = [quant(ro[:, 0]), quant(ro[:, 1]), quant(ro[:, 2]),
+              quant(theta), quant(phi)]
+    key = jnp.zeros(ro.shape[0], jnp.int32)
+    for b in range(bits):
+        for c, q in enumerate(coords):
+            key = key | (((q >> b) & 1) << (5 * b + c))
+    return key
 
 
 class ClusterIntersector:

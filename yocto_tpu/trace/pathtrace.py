@@ -115,23 +115,26 @@ def _vol_pop(st: PathState, cond):
 
 def make_path_sampler(scene: FlatScene, lights: FlatLights,
                       meta: LightsMeta, params: TraceParams,
-                      intersect_fn, features=None):
+                      intersect_fn, features=None, force_matte=False):
     """Build the `trace_path` step (yocto_trace.cpp:453-596 semantics).
 
     `features` (SceneFeatures) statically disables machinery no material in
     the scene can trigger — volumes, opacity passthrough, delta lobes —
     which is bit-identical to running it behind all-false masks (all RNG
-    draw sites are mask-guarded, so the per-pixel streams are unchanged)."""
+    draw sites are mask-guarded, so the per-pixel streams are unchanged).
+    `force_matte` makes this `trace_pathtest` (yocto_trace.cpp:953-1030):
+    materials are evaluated normally, then the lobe type is overwritten
+    with matte — no volume, opacity, or delta machinery ever engages."""
     from .compile import ALL_FEATURES
 
     feat = features if features is not None else ALL_FEATURES
     envhidden = params.envhidden
     has_env = scene.env_frame.shape[0] > 0
     has_lights = meta.n_lights > 0
-    has_volumes = feat.has_volumes
-    has_opacity = feat.has_opacity
-    has_delta = feat.has_delta
-    types = feat.mat_types
+    has_volumes = feat.has_volumes and not force_matte
+    has_opacity = feat.has_opacity and not force_matte
+    has_delta = feat.has_delta and not force_matte
+    types = (0,) if force_matte else feat.mat_types
     max_iters = params.bounces + 130
 
     def body(st: PathState) -> PathState:
@@ -190,6 +193,9 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
                                      features=features)
         material = eval_material(scene, inst, gelem, isec.uv,
                                  features=features)
+        if force_matte:
+            material = material._replace(
+                type=jnp.zeros_like(material.type))
 
         if params.nocaustics:
             max_roughness = jnp.where(
@@ -1451,7 +1457,7 @@ SAMPLER_BUILDERS = {
     SamplerType.path: make_path_sampler,
     SamplerType.pathdirect: make_pathdirect_sampler,
     SamplerType.pathmis: make_pathmis_sampler,
-    SamplerType.pathtest: make_path_sampler,
+    SamplerType.pathtest: partial(make_path_sampler, force_matte=True),
     SamplerType.naive: make_naive_sampler,
     SamplerType.eyelight: make_eyelight_sampler,
     SamplerType.diagram: make_diagram_sampler,

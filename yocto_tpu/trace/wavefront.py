@@ -23,8 +23,9 @@ removed:
 Per-lane PCG32 streams are seeded per (pixel, sample) like the fast
 multi-spp mode (statistically independent, not draw-for-draw identical to
 the reference; the lockstep renderer remains the bit-parity path).
-Volume scenes fall back to the lockstep renderer (volume stacks need
-per-lane history that crosses compaction; supported there).
+Volume scenes are supported: the fixed-capacity per-lane volume stack
+(Lanes.vol_*) is ordinary lane state and survives compaction like every
+other per-lane array.
 """
 
 from __future__ import annotations
@@ -108,6 +109,18 @@ class WavefrontRenderer:
         self.spp_batch = max(1, params.spp_batch)
         n_cands = int(self.flat.cand_inst.shape[0])
         self.use_bvh = n_cands > 4096 and not params.bruteforce
+        self._cluster = None
+        on_tpu = jax.default_backend() != "cpu"
+        if self.use_bvh and (params.intersector == "cluster"
+                             or (params.intersector == "auto" and on_tpu)):
+            # the tile-binned cluster pipeline replaces the threaded
+            # traversal rounds: one dispatch per bounce instead of many
+            from .pallas_cluster import make_cluster_intersector
+            self._cluster = make_cluster_intersector(
+                scene, kinds=self.features.kinds,
+                highquality=params.highqualitybvh)
+            if self._cluster is not None:
+                self.use_bvh = False
         if self.use_bvh:
             self.bvh = build_scene_bvh(scene, params.highqualitybvh)
             self._trav_step = make_trav_step(self.bvh,
@@ -253,7 +266,10 @@ class WavefrontRenderer:
         if key in self._jits:
             return self._jits[key]
         kinds = self.features.kinds
-        if jax.default_backend() != "cpu":
+        if self._cluster is not None:
+            isect = self._cluster
+            isec_dense = jax.jit(lambda flat, ro, rd: isect(flat, ro, rd))
+        elif jax.default_backend() != "cpu":
             from .pallas_intersect import (
                 make_pallas_bruteforce_intersector,
                 make_pallas_small_intersector)
