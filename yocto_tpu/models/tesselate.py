@@ -80,20 +80,20 @@ def tesselate_subdiv(scene: SceneData, subdiv: SubdivData) -> ShapeData:
     tc = np.asarray(subdiv.texcoords, np.float32)
 
     if subdiv.subdivisions > 0:
+        # the normal topology is never subdivided: the reference discards
+        # it after subdivision either way (smooth -> recomputed from the
+        # subdivided positions, else cleared, yocto_scene.cpp:764-770) —
+        # and the reference's own shipped subdiv OBJs carry malformed
+        # quadsnorm indices that only "work" because the result is unused
         for _ in range(subdiv.subdivisions):
             if subdiv.catmullclark:
                 if len(sub_qt):
                     sub_qt, tc = subdivide_catmullclark(
                         sub_qt, tc, 1, lock_boundary=True)
-                if len(sub_qn):
-                    sub_qn, nrm = subdivide_catmullclark(
-                        sub_qn, nrm, 1, lock_boundary=True)
                 sub_qp, pos = subdivide_catmullclark(sub_qp, pos, 1)
             else:
                 if len(sub_qt):
                     sub_qt, tc = subdivide_quads(sub_qt, tc, 1)
-                if len(sub_qn):
-                    sub_qn, nrm = subdivide_quads(sub_qn, nrm, 1)
                 sub_qp, pos = subdivide_quads(sub_qp, pos, 1)
         if subdiv.smooth:
             nrm = quads_normals(sub_qp, pos)

@@ -269,3 +269,88 @@ def make_test_scene(name: str) -> SceneData:
         frame = [[1, 0, 0], [0, 1, 0], [0, 0, 1], origin]
         instance(iname, frame)
     return scene
+
+
+def make_bistro_like(n_major: int = 9, steps: int = 120,
+                     seed: int = 11) -> SceneData:
+    """Bistro-class stress scene: >1M triangles of instanced, transformed
+    high-tessellation geometry with varied PBR materials plus a floor and
+    an area light (BASELINE.json config 5 stand-in; the reference handles
+    such scenes through per-shape GAS + IAS, yocto_cutrace.cpp:721-885 —
+    here they exercise the instance-sharded ring renderer)."""
+    import numpy as np
+
+    from .procedural import make_sphere, make_uvsphere
+    from .scene import (CameraData, InstanceData, MaterialData,
+                        MaterialType, SceneData)
+
+    rng = np.random.RandomState(seed)
+    scene = SceneData()
+    scene.cameras.append(CameraData(
+        frame=np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 2.0, 9.0]],
+                       np.float32),
+        lens=0.05, film=0.036, aspect=16 / 9, focus=9.0))
+    scene.camera_names.append("camera")
+
+    # two heavy base shapes, instanced with distinct frames/materials
+    scene.shapes.append(make_sphere(steps=steps, scale=1.0))
+    scene.shape_names.append("blob")
+    scene.shapes.append(make_uvsphere(steps=(2 * steps, steps), scale=1.0))
+    scene.shape_names.append("dome")
+
+    mats = [
+        MaterialData(type=MaterialType.matte,
+                     color=np.array([0.7, 0.5, 0.3], np.float32)),
+        MaterialData(type=MaterialType.glossy,
+                     color=np.array([0.5, 0.7, 0.5], np.float32),
+                     roughness=0.2),
+        MaterialData(type=MaterialType.reflective,
+                     color=np.array([0.66, 0.45, 0.34], np.float32),
+                     roughness=0.1),
+    ]
+    for i, m in enumerate(mats):
+        scene.materials.append(m)
+        scene.material_names.append(f"mat{i}")
+
+    half = int(np.ceil(np.sqrt(n_major)))
+    for i in range(n_major):
+        gx = (i % half) - (half - 1) / 2
+        gz = (i // half) - (half - 1) / 2
+        s = 0.6 + 0.5 * rng.rand()
+        ang = rng.rand() * 2 * np.pi
+        c, sn = np.cos(ang), np.sin(ang)
+        frame = np.array([[c * s, 0, -sn * s],
+                          [0, s, 0],
+                          [sn * s, 0, c * s],
+                          [2.5 * gx, s, 2.5 * gz]], np.float32)
+        scene.instances.append(InstanceData(
+            frame=frame, shape=i % 2, material=i % len(mats)))
+        scene.instance_names.append(f"blob{i}")
+
+    # floor
+    scene.shapes.append(_floor_shape())
+    scene.shape_names.append("floor")
+    scene.materials.append(MaterialData(
+        color=np.array([0.725, 0.71, 0.68], np.float32)))
+    scene.material_names.append("floor")
+    fl = np.eye(4, 3, dtype=np.float32)
+    fl[:3] *= 12.0
+    scene.instances.append(InstanceData(
+        frame=fl, shape=len(scene.shapes) - 1,
+        material=len(scene.materials) - 1))
+    scene.instance_names.append("floor")
+
+    # area light overhead
+    light = _quad_shape(1.5)
+    scene.shapes.append(light)
+    scene.shape_names.append("arealight")
+    scene.materials.append(MaterialData(
+        emission=np.array([30.0, 28.0, 24.0], np.float32)))
+    scene.material_names.append("arealight")
+    lf = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0], [0, 8.0, 0]],
+                  np.float32)
+    scene.instances.append(InstanceData(
+        frame=lf, shape=len(scene.shapes) - 1,
+        material=len(scene.materials) - 1))
+    scene.instance_names.append("arealight")
+    return scene
