@@ -106,17 +106,22 @@ def make_diff_path_sampler(lights, meta, params: TraceParams, features,
     """
     has_lights = meta.n_lights > 0
     has_delta = features.has_delta
+    has_volumes = features.has_volumes
     types = features.mat_types
     if intersect_fn is None:
         intersect_fn = partial(intersect_scene_bruteforce,
                                kinds=features.kinds)
+    from ..ops import shading as SH
+    from .sceneval import is_volumetric_instance
 
     def run(scene_a: FlatScene, scene_s: FlatScene, ro, rd, rngs):
         has_env = scene_a.env_frame.shape[0] > 0
         Rn = ro.shape[0]
 
         def body(carry, _):
-            ro, rd, radiance, weight, alive, bounce, rng = carry
+            (ro, rd, radiance, weight, alive, bounce, rng, in_med,
+             med_a, med_s) = carry
+            ro_in, rd_in = ro, rd
             isec = intersect_fn(scene_a, ro, rd)
             hit_l = alive & isec.hit
 
@@ -127,6 +132,27 @@ def make_diff_path_sampler(lights, meta, params: TraceParams, features,
                 radiance = _where3(env_ok, radiance + weight * env,
                                    radiance)
             alive = hit_l
+
+            # --- volume transmittance (single-medium; distance sampling
+            # detached from med_s, transmittance ratio attached via med_a)
+            if has_volumes:
+                in_stack = hit_l & in_med
+                r_tr2, rng = R.rand1f_if(rng, in_stack)
+                r_tr1, rng = R.rand1f_if(rng, in_stack)
+                den_a, scat_a, ani_a = med_a
+                den_s, scat_s, ani_s = jax.tree.map(_sg, med_s)
+                tdist = _sg(SH.sample_transmittance(
+                    den_s, isec.distance, r_tr1, r_tr2))
+                trans = SH.eval_transmittance(den_a, tdist)
+                tpdf = _sg(SH.sample_transmittance_pdf(
+                    den_s, tdist, isec.distance))
+                safe_tpdf = jnp.where(tpdf == 0.0, 1.0, tpdf)[..., None]
+                weight = _where3(in_stack, weight * trans / safe_tpdf,
+                                 weight)
+                in_volume = in_stack & (tdist < isec.distance)
+            else:
+                in_volume = jnp.zeros(Rn, bool)
+            surf = alive & ~in_volume
 
             inst = jnp.maximum(isec.instance, 0)
             shape = scene_a.inst_shape[inst]
@@ -149,12 +175,12 @@ def make_diff_path_sampler(lights, meta, params: TraceParams, features,
 
             # emission (attached)
             emis = B.eval_emission(material, normal, outgoing)
-            radiance = _where3(alive, radiance + weight * emis, radiance)
+            radiance = _where3(surf, radiance + weight * emis, radiance)
 
             # --- next direction: 50/50 BSDF/light one-sample MIS
             delta = is_delta_point(material_s) if has_delta \
                 else jnp.zeros(Rn, bool)
-            nd = alive & ~delta if has_delta else alive
+            nd = surf & ~delta if has_delta else surf
             r_choice, rng = R.rand1f_if(rng, nd)
             use_bsdf = r_choice < 0.5
             rn2, rng = R.rand2f_if(rng, nd & use_bsdf)
@@ -186,7 +212,7 @@ def make_diff_path_sampler(lights, meta, params: TraceParams, features,
             weight = _where3(nd_ok, weight * f_nd / safe_pdf, weight)
 
             if has_delta:
-                dl = alive & delta
+                dl = surf & delta
                 r_delta, rng = R.rand1f_if(rng, dl)
                 inc_delta = _sg(B.sample_delta(material_s, normal_s,
                                                outgoing, r_delta,
@@ -206,6 +232,74 @@ def make_diff_path_sampler(lights, meta, params: TraceParams, features,
                 incoming = incoming_nd
                 alive = alive & ~nd_zero
 
+            # --- medium toggle on transmission through volumetric surfaces
+            if has_volumes:
+                crossed = (M.dot(normal, outgoing)
+                           * M.dot(normal, incoming)) < 0.0
+                vol_change = surf & alive & crossed \
+                    & is_volumetric_instance(scene_a, inst)
+                enter = vol_change & ~in_med
+                leave = vol_change & in_med
+                in_med = jnp.where(enter, True,
+                                   jnp.where(leave, False, in_med))
+                sel3 = lambda old, new: _where3(enter, new, old)
+                den_a, scat_a, ani_a = med_a
+                med_a = (sel3(den_a, material.density),
+                         sel3(scat_a, material.scattering),
+                         jnp.where(enter, material.scanisotropy, ani_a))
+                den_s2, scat_s2, ani_s2 = med_s
+                med_s = (sel3(den_s2, material_s.density),
+                         sel3(scat_s2, material_s.scattering),
+                         jnp.where(enter, material_s.scanisotropy,
+                                   ani_s2))
+
+            ro = _where3(surf & alive, position, ro)
+            rd = _where3(surf & alive, incoming, rd)
+
+            # --- in-volume scattering (phase/light one-sample MIS;
+            # direction detached, phase value + scattering attached)
+            if has_volumes:
+                vol = hit_l & in_volume & alive
+                den_a, scat_a, ani_a = med_a
+                den_s, scat_s, ani_s = jax.tree.map(_sg, med_s)
+                position_v = ro_in + rd_in * tdist[..., None]
+                outgoing_v = -rd_in
+                r_choice_v, rng = R.rand1f_if(rng, vol)
+                use_scat = r_choice_v < 0.5
+                rn2_v, rng = R.rand2f_if(rng, vol & use_scat)
+                rnl_v, rng = R.rand1f_if(rng, vol & use_scat)
+                del rnl_v
+                inc_scat = _sg(B.sample_scattering(ani_s, outgoing_v,
+                                                   rn2_v))
+                if has_lights:
+                    ruv_v, rng = R.rand2f_if(rng, vol & ~use_scat)
+                    rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
+                    inc_l_v = _sg(sample_lights(
+                        scene_s, lights, meta, _sg(position_v), rl_v,
+                        rel_v, ruv_v))
+                    incoming_v = _where3(use_scat, inc_scat, inc_l_v)
+                else:
+                    incoming_v = inc_scat
+                v_zero = vol & M.is_zero3(incoming_v)
+                v_ok = vol & ~v_zero
+                f_v = B.eval_scattering(den_a, scat_a, ani_a, outgoing_v,
+                                        incoming_v)
+                pdf_vs = _sg(B.sample_scattering_pdf(
+                    den_s, ani_s, outgoing_v, incoming_v))
+                if has_lights:
+                    pdf_vl = _sg(sample_lights_pdf(
+                        scene_s, lights, meta, _sg(position_v),
+                        incoming_v))
+                    pdf_v = 0.5 * pdf_vs + 0.5 * pdf_vl
+                else:
+                    pdf_v = 0.5 * pdf_vs
+                safe_pv = jnp.where(pdf_v == 0.0, 1.0, pdf_v)[..., None]
+                weight = _where3(v_ok, weight * f_v / safe_pv, weight)
+                alive = alive & ~v_zero
+                ro = _where3(v_ok, position_v, ro)
+                rd = _where3(v_ok, incoming_v, rd)
+
             # weight sanity + Russian roulette (detached decisions)
             wzero = M.is_zero3(_sg(weight))
             wbad = ~M.isfinite3(_sg(weight))
@@ -219,14 +313,17 @@ def make_diff_path_sampler(lights, meta, params: TraceParams, features,
                              weight)
             alive = alive & ~rr_die
 
-            ro = _where3(alive, position, ro)
-            rd = _where3(alive, incoming, rd)
-            return (ro, rd, radiance, weight, alive, bounce + 1, rng), None
+            return (ro, rd, radiance, weight, alive, bounce + 1, rng,
+                    in_med, med_a, med_s), None
 
+        zero_med = (jnp.zeros((Rn, 3), jnp.float32),
+                    jnp.zeros((Rn, 3), jnp.float32),
+                    jnp.zeros(Rn, jnp.float32))
         init = (ro, rd, jnp.zeros((Rn, 3), jnp.float32),
                 jnp.ones((Rn, 3), jnp.float32), jnp.ones(Rn, bool),
-                jnp.zeros(Rn, jnp.int32), rngs)
-        (ro_, rd_, radiance, w_, a_, b_, rng), _ = jax.lax.scan(
+                jnp.zeros(Rn, jnp.int32), rngs, jnp.zeros(Rn, bool),
+                zero_med, zero_med)
+        (ro_, rd_, radiance, w_, a_, b_, rng, _, _, _), _ = jax.lax.scan(
             body, init, None, length=params.bounces)
         # final environment hit for rays still alive after the last bounce
         if has_env:
@@ -384,7 +481,7 @@ def make_diff_pathdirect_sampler(lights, meta, params: TraceParams,
             weight = _where3(nd_ok, weight * f_nd / safe_pdf, weight)
 
             if has_delta:
-                dl = alive & delta
+                dl = surf & delta
                 r_delta, rng = R.rand1f_if(rng, dl)
                 inc_delta = _sg(B.sample_delta(material_s, normal_s,
                                                outgoing, r_delta,
@@ -452,12 +549,16 @@ class DiffRenderer:
         next-event estimation; additionally recovers interior geometry
         gradients - camera, vertex positions, instance frames)."""
         self.params = params
+        self.scene_host = scene
         self.flat = compile_scene(scene)
         self.features = scene_features(scene)
-        if self.features.has_volumes:
+        self._edge_term = None
+        self._edge_nsamples = None
+        if self.features.has_volumes and estimator == "nee":
             raise NotImplementedError(
-                "diff rendering v1 covers surface scenes (volume distance "
-                "sampling gradients are not implemented)")
+                "the area-measure NEE estimator covers surface scenes; "
+                "use estimator='mis' for volumetric gradients (detached "
+                "distance/phase sampling, attached transmittance)")
         self.lights, self.meta = make_trace_lights(scene)
         self.width, self.height = render_size(scene, params)
         self.spp = spp if spp is not None else params.samples
@@ -496,3 +597,36 @@ class DiffRenderer:
         """Differentiable [H,W,3] linear radiance image."""
         ts = theta if theta_sampling is None else theta_sampling
         return self._render(theta, ts)
+
+    def render_edges(self, theta, key, n_samples: int = 4096,
+                     theta_sampling=None):
+        """Edge-aware differentiable render: the interior image plus the
+        zero-valued edge-sampling carrier whose gradient is the
+        primary-visibility silhouette (boundary) term — the part of
+        vertex-position gradients the interior estimator cannot see
+        (trace/diff_edges.py). `key` drives the edge sampler."""
+        from .diff_edges import build_edge_table, make_edge_term
+
+        if getattr(self, "_edge_term", None) is None or \
+                self._edge_nsamples != n_samples:
+            edges = build_edge_table(self.scene_host)
+            params, meta = self.params, self.meta
+            sampler = self._sampler
+
+            def trace_fn(scene_det, ro, rd, key):
+                k = ro.shape[0]
+                offs = jax.random.randint(key, (k,), 0, 1 << 30)
+                seq_hi, seq_lo = R.make_pixel_seqs(k)
+                rngs = R.make_rng_offset(params.seed + 77, offs,
+                                         seq_hi, seq_lo)
+                rad, _ = sampler(scene_det, scene_det, ro, rd, rngs)
+                return jax.lax.stop_gradient(rad)
+
+            self._edge_term = jax.jit(make_edge_term(
+                edges, params, self.width, self.height, trace_fn,
+                n_samples=n_samples))
+            self._edge_nsamples = n_samples
+
+        img = self.render(theta, theta_sampling)
+        scene_a = inject_theta(self.flat, theta)
+        return img + self._edge_term(scene_a, key)

@@ -1,0 +1,237 @@
+"""Edge-sampled silhouette gradients for differentiable rendering.
+
+The interior estimator in trace/diff.py differentiates radiance where
+visibility is locally constant; moving a vertex also MOVES SILHOUETTES,
+whose contribution is a boundary integral the interior estimator cannot
+see (its vertex gradients are zero across occlusion changes). This module
+estimates that boundary term for PRIMARY visibility by edge sampling
+(the approach of differentiable rasterization/path-tracing practice; no
+yocto counterpart — the reference is not differentiable):
+
+    dI_j/dtheta = sum_over_silhouette_edges
+        \\int (L_out(u) - L_in(u)) (n_hat(u) . du_edge/dtheta) dl
+
+in screen space (pixel units): u_edge(t; theta) is the projected edge
+curve, n_hat its screen normal pointing out of the occluder, L_in/L_out
+the radiance just inside/outside the silhouette. Monte-Carlo over
+(edge, t) with everything except the projected position detached yields a
+surrogate scalar whose jax.grad adds exactly this term, composed with the
+interior vjp through a custom_vjp in DiffRenderer.render_edge_aware.
+
+v1 scope: primary (camera) visibility, pinhole cameras, triangle/quad
+surfaces. Secondary-bounce silhouettes (shadows of moving geometry) are
+documented future work.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import SceneData
+from ..ops import mathops as M
+
+
+class EdgeTable(NamedTuple):
+    """Static mesh-edge table in the flat scene's index spaces."""
+
+    e_verts: jax.Array   # [E,2] i32 global position-pool vertex ids
+    f1_verts: jax.Array  # [E,4] i32 face 1 corner ids (quad; tri = xyzz)
+    f2_verts: jax.Array  # [E,4] i32 face 2 corner ids (= f1 on boundary)
+    inst: jax.Array      # [E] i32 instance id
+    boundary: jax.Array  # [E] bool
+
+
+def build_edge_table(scene: SceneData) -> EdgeTable:
+    """Unique mesh edges with their adjacent faces, per instance, using
+    the same vertex-pool offsets as trace.compile.compile_scene."""
+    voffs = []
+    off = 0
+    for shape in scene.shapes:
+        voffs.append(off)
+        off += len(shape.positions)
+
+    ev, f1, f2, ei, eb = [], [], [], [], []
+    for iidx, inst in enumerate(scene.instances):
+        shape = scene.shapes[inst.shape]
+        if len(shape.triangles):
+            tris = np.asarray(shape.triangles, np.int64)
+            faces = np.concatenate([tris, tris[:, 2:3]], axis=1)
+            corners = [(0, 1), (1, 2), (2, 0)]
+        elif len(shape.quads):
+            faces = np.asarray(shape.quads, np.int64)
+            corners = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        else:
+            continue
+        edge_map = {}
+        for fidx in range(len(faces)):
+            f = faces[fidx]
+            for a, b in corners:
+                va, vb = int(f[a]), int(f[b])
+                if va == vb:
+                    continue  # degenerate corner of tri-as-quad
+                key = (min(va, vb), max(va, vb))
+                if key in edge_map:
+                    edge_map[key] = (edge_map[key][0], fidx)
+                else:
+                    edge_map[key] = (fidx, None)
+        voff = voffs[inst.shape]
+        for (va, vb), (fa, fb) in edge_map.items():
+            ev.append((va + voff, vb + voff))
+            f1.append(faces[fa] + voff)
+            f2.append(faces[fb if fb is not None else fa] + voff)
+            ei.append(iidx)
+            eb.append(fb is None)
+
+    return EdgeTable(
+        e_verts=jnp.asarray(np.asarray(ev, np.int32).reshape(-1, 2)),
+        f1_verts=jnp.asarray(np.asarray(f1, np.int32).reshape(-1, 4)),
+        f2_verts=jnp.asarray(np.asarray(f2, np.int32).reshape(-1, 4)),
+        inst=jnp.asarray(np.asarray(ei, np.int32)),
+        boundary=jnp.asarray(np.asarray(eb, bool)))
+
+
+def project_camera(scene, camera, x):
+    """World point -> continuous image uv in [0,1]^2 (pinhole inverse of
+    sceneval.eval_camera's perspective branch). Differentiable."""
+    frame = scene.cam_frame[camera]
+    lens = scene.cam_lens[camera]
+    film_w = scene.cam_film[camera]
+    aspect = scene.cam_aspect[camera]
+    film_x = jnp.where(aspect >= 1.0, film_w, film_w * aspect)
+    film_y = jnp.where(aspect >= 1.0, film_w / aspect, film_w)
+    rel = x - frame[3]
+    lx = jnp.stack([M.dot(rel, frame[0]), M.dot(rel, frame[1]),
+                    M.dot(rel, frame[2])], axis=-1)
+    lz = jnp.minimum(lx[..., 2], -1e-8)  # visible points have lz < 0
+    qx = lens * lx[..., 0] / lz
+    qy = lens * lx[..., 1] / lz
+    u = 0.5 - qx / film_x
+    v = 0.5 + qy / film_y
+    return jnp.stack([u, v], axis=-1)
+
+
+def _world_vert(scene, vid, inst):
+    """Instance-transformed vertex position (attached)."""
+    p = scene.positions[vid]
+    fr = scene.inst_frame[inst]
+    return (p[..., 0:1] * fr[..., 0, :] + p[..., 1:2] * fr[..., 1, :]
+            + p[..., 2:3] * fr[..., 2, :] + fr[..., 3, :])
+
+
+def _face_normal(scene, fverts, inst):
+    p0 = _world_vert(scene, fverts[..., 0], inst)
+    p1 = _world_vert(scene, fverts[..., 1], inst)
+    p3 = _world_vert(scene, fverts[..., 3], inst)
+    p2 = _world_vert(scene, fverts[..., 2], inst)
+    # split-quad average like eval_element_normal; tris give n_a == n_b
+    n_a = jnp.cross(p1 - p0, p3 - p0)
+    n_b = jnp.cross(p3 - p2, p1 - p2)
+    return n_a + n_b
+
+
+def make_edge_term(edges: EdgeTable, params, width, height, trace_fn,
+                   n_samples: int = 4096, probe_px: float = 0.25):
+    """Returns edge_term(scene_attached, key) -> [H,W,3] image that is
+    IDENTICALLY ZERO in value but whose gradient w.r.t. the attached
+    scene is the primary-visibility boundary term (each sample adds
+    coef * (n_hat . s(theta) - stop_grad(same)) to its pixel). Adding it
+    to the interior render makes any downstream loss edge-aware without
+    a custom VJP.
+
+    `trace_fn(scene, ro, rd, key) -> [K,3]` computes (detached) radiance
+    for probe rays — typically the detached diff sampler at 1 spp.
+    """
+    E = int(edges.e_verts.shape[0])
+    cam = params.camera
+
+    def edge_term(scene_a, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        eidx = jax.random.randint(k1, (n_samples,), 0, E)
+        t = jax.random.uniform(k2, (n_samples,))
+
+        ev = edges.e_verts[eidx]
+        inst = edges.inst[eidx]
+        v0 = _world_vert(scene_a, ev[:, 0], inst)
+        v1 = _world_vert(scene_a, ev[:, 1], inst)
+        x = v0 + (v1 - v0) * t[:, None]                  # [K,3] attached
+
+        # screen position in PIXEL units (attached — this is the only
+        # theta-attached quantity in the estimator)
+        uv = project_camera(scene_a, cam, x)
+        s = uv * jnp.asarray([width, height], jnp.float32)
+
+        sg = jax.lax.stop_gradient
+        # silhouette test (detached): exactly one adjacent face fronts
+        # the camera (boundary edges always qualify)
+        eye = scene_a.cam_frame[cam][3]
+        view = sg(x) - eye[None, :]
+        n1 = _face_normal(scene_a, edges.f1_verts[eidx], inst)
+        n2 = _face_normal(scene_a, edges.f2_verts[eidx], inst)
+        front1 = M.dot(sg(n1), view) < 0.0
+        front2 = M.dot(sg(n2), view) < 0.0
+        silho = jnp.where(edges.boundary[eidx], front1,
+                          front1 != front2)
+
+        # screen tangent/normal (detached); normal oriented out of the
+        # occluder using the front face's third corner as interior probe
+        s0 = sg(project_camera(scene_a, cam, v0)
+                * jnp.asarray([width, height], jnp.float32))
+        s1 = sg(project_camera(scene_a, cam, v1)
+                * jnp.asarray([width, height], jnp.float32))
+        ds = s1 - s0                                      # [K,2]
+        dl = jnp.linalg.norm(ds, axis=-1)
+        tang = ds / jnp.maximum(dl, 1e-12)[:, None]
+        nrm = jnp.stack([tang[:, 1], -tang[:, 0]], axis=-1)
+        ffront = jnp.where(front1[:, None], edges.f1_verts[eidx],
+                           edges.f2_verts[eidx])
+        centroid = (_world_vert(scene_a, ffront[:, 0], inst)
+                    + _world_vert(scene_a, ffront[:, 1], inst)
+                    + _world_vert(scene_a, ffront[:, 2], inst)
+                    + _world_vert(scene_a, ffront[:, 3], inst)) / 4.0
+        c_s = sg(project_camera(scene_a, cam, centroid)
+                 * jnp.asarray([width, height], jnp.float32))
+        inward = jnp.sum((c_s - sg(s)) * nrm, axis=-1) > 0.0
+        nrm = jnp.where(inward[:, None], -nrm, nrm)       # out of occluder
+
+        # probe radiance just inside/outside the silhouette (detached)
+        s_det = sg(s)
+        s_out = s_det + nrm * probe_px
+        s_in = s_det - nrm * probe_px
+        wh = jnp.asarray([width, height], jnp.float32)
+
+        def rays_at(spx):
+            uvp = spx / wh
+            from .sceneval import eval_camera
+            ro, rd = eval_camera(scene_a, cam,
+                                 sg(uvp), jnp.zeros_like(uvp))
+            return sg(ro), sg(rd)
+
+        ro_o, rd_o = rays_at(s_out)
+        ro_i, rd_i = rays_at(s_in)
+        L_out = trace_fn(sg_scene(scene_a), ro_o, rd_o, k3)
+        L_in = trace_fn(sg_scene(scene_a), ro_i, rd_i,
+                        jax.random.fold_in(k3, 1))
+
+        px = jnp.clip(s_det[:, 0].astype(jnp.int32), 0, width - 1)
+        py = jnp.clip(s_det[:, 1].astype(jnp.int32), 0, height - 1)
+        inside = ((s_det[:, 0] >= 0) & (s_det[:, 0] < width)
+                  & (s_det[:, 1] >= 0) & (s_det[:, 1] < height)
+                  & (dl > 1e-9))
+        coef = jnp.where((silho & inside)[:, None],
+                         (L_in - L_out) * (dl * (E / n_samples))[:, None],
+                         0.0)                             # [K,3] detached
+        # zero-valued carrier: gradient flows only through n_hat.s(theta)
+        ns = jnp.sum(nrm * s, axis=-1)
+        carrier = (ns - sg(ns))[:, None]
+        return (jnp.zeros((height, width, 3), jnp.float32)
+                .at[py, px].add(sg(coef) * carrier))
+
+    return edge_term
+
+
+def sg_scene(scene):
+    return jax.tree.map(jax.lax.stop_gradient, scene)
