@@ -77,3 +77,41 @@ def test_bvh_hits_match_bruteforce():
                                np.asarray(b.distance), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(a.uv)[same],
                                np.asarray(b.uv)[same], rtol=1e-5, atol=1e-6)
+
+
+def test_overlap_scene_closest_point():
+    """Point-overlap queries (overlap_scene_bvh semantics,
+    yocto_bvh.cpp:638-781): the returned uv must be the true closest
+    point on the winning primitive (no sampled uv may be closer)."""
+    import jax.numpy as jnp
+    from yocto_tpu.models.examples import make_cornellbox
+    from yocto_tpu.trace.compile import compile_scene
+    from yocto_tpu.trace.intersect import overlap_scene_bruteforce
+    from yocto_tpu.trace.sceneval import eval_position
+
+    scene = make_cornellbox()
+    flat = compile_scene(scene)
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray((rng.rand(64, 3).astype(np.float32) - 0.5) * 2
+                      + np.array([0, 1, 0], np.float32))
+    o = overlap_scene_bruteforce(flat, pts, 10.0)
+    assert np.asarray(o.hit).all()
+
+    inst = jnp.maximum(o.instance, 0)
+    shape = flat.inst_shape[inst]
+    gelem = flat.shape_elem_start[shape] + jnp.maximum(o.element, 0)
+    closest = eval_position(flat, inst, gelem, o.uv)
+    d = np.linalg.norm(np.asarray(closest) - np.asarray(pts), axis=-1)
+    np.testing.assert_allclose(d, np.asarray(o.distance), rtol=2e-3,
+                               atol=2e-4)
+
+    # optimality: random uvs on the winning element may not be closer
+    for _ in range(10):
+        ruv = jnp.asarray(rng.rand(64, 2).astype(np.float32))
+        alt = eval_position(flat, inst, gelem, ruv)
+        da = np.linalg.norm(np.asarray(alt) - np.asarray(pts), axis=-1)
+        assert (da >= d - 1e-4).all()
+
+    # tight radius: far points must miss
+    far = overlap_scene_bruteforce(flat, pts + 100.0, 1.0)
+    assert not np.asarray(far.hit).any()

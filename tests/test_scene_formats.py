@@ -194,3 +194,30 @@ def test_gltf_glb_and_data_uri(tmp_path):
     np.testing.assert_allclose(np.asarray(scene.shapes[0].positions), pos)
     np.testing.assert_allclose(
         np.asarray(scene.instances[0].frame)[3], [1, 2, 3])
+
+
+def test_load_version40_corpus():
+    """Archived 4.0-format scenes (yocto_sceneio.cpp:3025): dict-keyed
+    groups, name references, extension-probed paths, PLY instancing."""
+    import os
+    base = "/root/reference/tests/_version40"
+    if not os.path.isdir(base):
+        import pytest
+        pytest.skip("reference corpus unavailable")
+    from yocto_tpu.io.sceneio import load_scene
+
+    cb = load_scene(os.path.join(base, "cornellbox", "cornellbox.json"))
+    assert len(cb.instances) == 8 and len(cb.materials) == 8
+    emissive = [m for m in cb.materials if np.any(np.asarray(m.emission))]
+    assert len(emissive) == 1
+
+    # PLY multi-frame instancing expands one json object into many
+    inst = load_scene(os.path.join(base, "instances1", "instances1.json"))
+    assert len(inst.instances) > 100
+    assert len(inst.environments) == 1
+
+    # material_type40 names: "metallic" -> reflective, "volume" -> volumetric
+    m3 = load_scene(os.path.join(base, "materials3", "materials3.json"))
+    from yocto_tpu.models.scene import MaterialType
+    types = {int(m.type) for m in m3.materials}
+    assert int(MaterialType.reflective) in types

@@ -201,10 +201,14 @@ def load_json_scene(path: str) -> SceneData:
     with open(path) as f:
         doc = json.load(f)
     version = doc.get("asset", {}).get("version", "")
+    if version in ("", "4.0", "4.1"):
+        # archived corpora (yocto_sceneio.cpp:3025, 3376): dict-keyed
+        # groups, name references, extension-probed resource paths
+        return _load_json_scene_v40(path, doc)
     if version not in ("4.2", "5.0"):
         raise ValueError(
-            f"unsupported scene version {version!r} (4.2/5.0 supported); "
-            f"convert older corpora with the reference's fix-tests script")
+            f"unsupported scene version {version!r} "
+            f"(4.0/4.1/4.2/5.0 supported)")
 
     scene = SceneData()
     scene.copyright = doc.get("asset", {}).get("copyright", "")
@@ -331,6 +335,231 @@ def load_json_scene(path: str) -> SceneData:
         list(pool.map(load_one_shape, range(len(shape_uris))))
         list(pool.map(load_one_texture, range(len(texture_uris))))
         list(pool.map(load_one_subdiv, range(len(subdiv_uris))))
+
+    add_missing_camera(scene)
+    add_missing_radius(scene)
+    return scene
+
+
+# 4.0 material enum names differ from the current ones at two slots
+# (yocto_sceneio.cpp:2990-3001): index-compatible with MaterialType.
+_MATERIAL_TYPE40 = ["matte", "glossy", "metallic", "transparent",
+                    "refractive", "subsurface", "volume", "gltfpbr"]
+
+
+def _load_json_scene_v40(path: str, doc: dict) -> SceneData:
+    """Versions 4.0/4.1 (yocto_sceneio.cpp:3025-3375, 3376-3617):
+    dict-keyed groups, references by NAME, resources discovered by
+    probing shapes/<name>.{ply,obj} etc, optional "objects" synonym for
+    instances with multi-frame PLY instancing, lookat triples."""
+    scene = SceneData()
+    scene.copyright = doc.get("asset", {}).get("copyright", "")
+    dirname = os.path.dirname(path)
+
+    def items(group):
+        return doc.get(group, {}).items()
+
+    def find_path(name, group, exts):
+        for ext in exts:
+            rel = os.path.join(group, name + ext)
+            if os.path.exists(os.path.join(dirname, rel)):
+                return rel
+        return os.path.join(group, name + exts[0])
+
+    shape_map, texture_map, material_map = {}, {}, {}
+    shape_files, texture_files = [], []
+
+    def get_shp(name):
+        if not name:
+            return INVALID
+        if name not in shape_map:
+            shape_map[name] = len(scene.shapes)
+            scene.shapes.append(ShapeData())
+            scene.shape_names.append(name)
+            shape_files.append(None)
+        return shape_map[name]
+
+    def get_tex(name):
+        if not name:
+            return INVALID
+        if name not in texture_map:
+            texture_map[name] = len(scene.textures)
+            scene.textures.append(TextureData())
+            scene.texture_names.append(name)
+            texture_files.append(None)
+        return texture_map[name]
+
+    def read_lookat(element, frame, focus=None):
+        mat = np.asarray(element["lookat"], np.float32).reshape(3, 3)
+        if focus is not None:
+            return (_lookat_frame(mat[0], mat[1], mat[2]),
+                    float(np.linalg.norm(mat[0] - mat[1])))
+        return _lookat_frame(mat[0], mat[1], mat[2], inv_ok=False), None
+
+    for name, element in items("cameras"):
+        cam = CameraData()
+        scene.camera_names.append(name)
+        if "frame" in element:
+            cam.frame = _frame(element["frame"])
+        cam.orthographic = element.get(
+            "orthographic", element.get("ortho", cam.orthographic))
+        for key in ("lens", "aspect", "film", "focus", "aperture"):
+            if key in element:
+                setattr(cam, key, element[key])
+        if "lookat" in element:
+            cam.frame, cam.focus = read_lookat(element, cam.frame, True)
+        scene.cameras.append(cam)
+
+    for name, element in items("environments"):
+        env = EnvironmentData()
+        scene.environment_names.append(name)
+        if "frame" in element:
+            env.frame = _frame(element["frame"])
+        if "emission" in element:
+            env.emission = np.asarray(element["emission"], np.float32)
+        env.emission_tex = get_tex(element.get("emission_tex", ""))
+        if "lookat" in element:
+            env.frame, _ = read_lookat(element, env.frame)
+        scene.environments.append(env)
+
+    # 4.1 explicit shape/texture groups with datafiles
+    for name, element in items("textures"):
+        tid = get_tex(name)
+        if isinstance(element, str):
+            texture_files[tid] = element
+        else:
+            texture_files[tid] = element.get("datafile") or None
+            for key in ("linear", "nearest", "clamp"):
+                if key in element:
+                    setattr(scene.textures[tid], key, element[key])
+    for name, element in items("shapes"):
+        sid = get_shp(name)
+        if isinstance(element, str):
+            shape_files[sid] = element
+        elif isinstance(element, dict):
+            shape_files[sid] = element.get("datafile") or None
+
+    for name, element in items("materials"):
+        mat = MaterialData()
+        scene.material_names.append(name)
+        material_map[name] = len(scene.materials)
+        tname = element.get("type", "matte")
+        if tname in _MATERIAL_TYPE40:
+            mat.type = MaterialType(_MATERIAL_TYPE40.index(tname))
+        else:
+            try:
+                mat.type = MaterialType[tname]
+            except KeyError:
+                mat.type = MaterialType.matte
+        for key in ("emission", "color", "scattering"):
+            if key in element:
+                setattr(mat, key, np.asarray(element[key], np.float32))
+        for key in ("metallic", "roughness", "ior", "trdepth",
+                    "scanisotropy", "opacity"):
+            if key in element:
+                setattr(mat, key, element[key])
+        for key in ("emission_tex", "color_tex", "roughness_tex",
+                    "scattering_tex", "normal_tex"):
+            if key in element:
+                setattr(mat, key, get_tex(element[key]))
+        scene.materials.append(mat)
+
+    ply_instances = {}   # name -> list of instance indices using it
+    for group in ("instances", "objects"):
+        for name, element in items(group):
+            inst = InstanceData()
+            scene.instance_names.append(name)
+            if "frame" in element:
+                inst.frame = _frame(element["frame"])
+            inst.shape = get_shp(element.get("shape", ""))
+            mname = element.get("material", "")
+            inst.material = material_map[mname] if mname else INVALID
+            if "lookat" in element:
+                inst.frame, _ = read_lookat(element, inst.frame)
+            if element.get("instance"):
+                ply_instances.setdefault(element["instance"], []).append(
+                    len(scene.instances))
+            scene.instances.append(inst)
+
+    for name, element in items("subdivs"):
+        sub = SubdivData()
+        scene.subdiv_names.append(name)
+        sub.shape = get_shp(element.get("shape", ""))
+        sub.subdivisions = element.get("subdivisions", sub.subdivisions)
+        sub.catmullclark = element.get("catmullclark", sub.catmullclark)
+        sub.smooth = element.get("smooth", sub.smooth)
+        sub.displacement = element.get("displacement", sub.displacement)
+        if "displacement_tex" in element:
+            sub.displacement_tex = get_tex(element["displacement_tex"])
+        sub._name = name
+        scene.subdivs.append(sub)
+
+    # load resources (extension probing like the reference's find_path)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one_shape(idx):
+        rel = shape_files[idx] or find_path(
+            scene.shape_names[idx], "shapes", [".ply", ".obj"])
+        scene.shapes[idx] = load_shape(
+            os.path.join(dirname, rel), flip_texcoord=True)
+
+    def load_one_texture(idx):
+        rel = texture_files[idx] or find_path(
+            scene.texture_names[idx], "textures",
+            [".hdr", ".exr", ".png", ".jpg"])
+        tex = load_texture(os.path.join(dirname, rel))
+        tex.nearest = scene.textures[idx].nearest
+        tex.clamp = scene.textures[idx].clamp
+        scene.textures[idx] = tex
+
+    def load_one_subdiv(idx):
+        old = scene.subdivs[idx]
+        rel = find_path(getattr(old, "_name", ""), "subdivs",
+                        [".ply", ".obj"])
+        full = os.path.join(dirname, rel)
+        if not os.path.exists(full):
+            return  # subdiv cage shipped as the shape itself
+        sub = load_subdiv(full)
+        for key in ("shape", "subdivisions", "catmullclark", "smooth",
+                    "displacement", "displacement_tex"):
+            setattr(sub, key, getattr(old, key))
+        scene.subdivs[idx] = sub
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(load_one_shape, range(len(scene.shapes))))
+        list(pool.map(load_one_texture, range(len(scene.textures))))
+        list(pool.map(load_one_subdiv, range(len(scene.subdivs))))
+
+    # expand multi-frame PLY instancing (yocto_sceneio.cpp:3333-3363)
+    if ply_instances:
+        from .ply import load_ply, _get_props
+        expanded = {}
+        for pname, users in ply_instances.items():
+            rel = find_path(pname, "instances", [".ply"])
+            ply = load_ply(os.path.join(dirname, rel))
+            cols = _get_props(ply, "instance",
+                             ["xx", "xy", "xz", "yx", "yy", "yz",
+                              "zx", "zy", "zz", "ox", "oy", "oz"])
+            frames = np.stack(cols, axis=1).reshape(-1, 4, 3)
+            for idx in users:
+                expanded[idx] = frames
+        instances, names = scene.instances, scene.instance_names
+        scene.instances, scene.instance_names = [], []
+        for idx, inst in enumerate(instances):
+            if idx not in expanded:
+                scene.instances.append(inst)
+                scene.instance_names.append(names[idx])
+                continue
+            base = np.asarray(inst.frame, np.float32)
+            for k, fr in enumerate(expanded[idx]):
+                # reference: new = ply_frame * json_frame — json frame
+                # applies first under the row-vector convention
+                rot = base[:3] @ fr[:3]
+                org = base[3] @ fr[:3] + fr[3]
+                scene.instances.append(InstanceData(
+                    frame=np.concatenate([rot, org[None]], 0),
+                    shape=inst.shape, material=inst.material))
+                scene.instance_names.append(f"{names[idx]}_{k}")
 
     add_missing_camera(scene)
     add_missing_radius(scene)

@@ -240,3 +240,108 @@ def point_bbox_distance_check(pos, dist_max, bbox_min, bbox_max):
     closest = jnp.clip(pos, bbox_min, bbox_max)
     d2 = dot(closest - pos, closest - pos)
     return d2 <= dist_max * dist_max
+
+
+class PrimOverlap(NamedTuple):
+    """Point-primitive overlap result (prim_intersection analogue)."""
+
+    hit: jnp.ndarray
+    uv: jnp.ndarray
+    distance: jnp.ndarray
+
+
+def overlap_point(pos, dist_max, p, r):
+    """yocto_geometry.h:874-880."""
+    d2 = dot(pos - p, pos - p)
+    hit = d2 <= (dist_max + r) * (dist_max + r)
+    uv = jnp.zeros(pos.shape[:-1] + (2,), jnp.float32)
+    return PrimOverlap(hit, uv, jnp.sqrt(d2))
+
+
+def closestuv_line(pos, p0, p1):
+    """yocto_geometry.h:883-892."""
+    ab = p1 - p0
+    d = dot(ab, ab)
+    u = dot(pos - p0, ab) / jnp.where(d == 0.0, 1.0, d)
+    return jnp.clip(u, 0.0, 1.0)
+
+
+def overlap_line(pos, dist_max, p0, p1, r0, r1):
+    """yocto_geometry.h:895-906."""
+    u = closestuv_line(pos, p0, p1)
+    p = p0 + (p1 - p0) * u[..., None]
+    r = r0 + (r1 - r0) * u
+    d2 = dot(pos - p, pos - p)
+    hit = d2 <= (dist_max + r) * (dist_max + r)
+    uv = jnp.stack([u, jnp.zeros_like(u)], axis=-1)
+    return PrimOverlap(hit, uv, jnp.sqrt(d2))
+
+
+def closestuv_triangle(pos, p0, p1, p2):
+    """Closest point on a triangle in barycentric uv, with the
+    reference's exact case cascade (yocto_geometry.h:908-950).
+    Vectorized: later `where`s are applied first so the reference's
+    earlier early-returns take precedence."""
+    ab = p1 - p0
+    ac = p2 - p0
+    ap = pos - p0
+    d1 = dot(ab, ap)
+    d2 = dot(ac, ap)
+    bp = pos - p1
+    d3 = dot(ab, bp)
+    d4 = dot(ac, bp)
+    cp = pos - p2
+    d5 = dot(ab, cp)
+    d6 = dot(ac, cp)
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    def safe(x):
+        return jnp.where(x == 0.0, 1.0, x)
+
+    zero = jnp.zeros_like(d1)
+    one = jnp.ones_like(d1)
+    denom = safe(va + vb + vc)
+    u = vb / denom
+    v = vc / denom
+    w6 = (d4 - d3) / safe((d4 - d3) + (d5 - d6))
+    cases = [
+        ((d1 <= 0) & (d2 <= 0), zero, zero),
+        ((d3 >= 0) & (d4 <= d3), one, zero),
+        ((vc <= 0) & (d1 >= 0) & (d3 <= 0), d1 / safe(d1 - d3), zero),
+        ((d6 >= 0) & (d5 <= d6), zero, one),
+        ((vb <= 0) & (d2 >= 0) & (d6 <= 0), zero, d2 / safe(d2 - d6)),
+        ((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0), 1 - w6, w6),
+    ]
+    for cond, cu, cv in reversed(cases):
+        u = jnp.where(cond, cu, u)
+        v = jnp.where(cond, cv, v)
+    return jnp.stack([u, v], axis=-1)
+
+
+def overlap_triangle(pos, dist_max, p0, p1, p2, r0, r1, r2):
+    """yocto_geometry.h:953-962."""
+    cuv = closestuv_triangle(pos, p0, p1, p2)
+    cu, cv = cuv[..., 0], cuv[..., 1]
+    p = (p0 * (1 - cu - cv)[..., None] + p1 * cu[..., None]
+         + p2 * cv[..., None])
+    r = r0 * (1 - cu - cv) + r1 * cu + r2 * cv
+    dd = dot(p - pos, p - pos)
+    hit = dd <= (dist_max + r) * (dist_max + r)
+    return PrimOverlap(hit, cuv, jnp.sqrt(dd))
+
+
+def overlap_quad(pos, dist_max, p0, p1, p2, p3, r0, r1, r2, r3):
+    """Split-quad overlap with degenerate fallback
+    (yocto_geometry.h:965-975)."""
+    isec1 = overlap_triangle(pos, dist_max, p0, p1, p3, r0, r1, r2)
+    isec2 = overlap_triangle(pos, dist_max, p2, p3, p1, r2, r3, r1)
+    degenerate = jnp.all(p2 == p3, axis=-1)
+    d1 = jnp.where(isec1.hit, isec1.distance, flt_max)
+    d2 = jnp.where(isec2.hit, isec2.distance, flt_max)
+    take1 = degenerate | (d1 < d2)
+    return PrimOverlap(
+        hit=jnp.where(take1, isec1.hit, isec2.hit),
+        uv=jnp.where(take1[..., None], isec1.uv, 1.0 - isec2.uv),
+        distance=jnp.where(take1, isec1.distance, isec2.distance))

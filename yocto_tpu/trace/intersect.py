@@ -170,3 +170,69 @@ def intersect_instance_elements(scene: FlatScene, instance, ro, rd,
         element=jnp.where(best_hit, best, -1),
         uv=jnp.where(best_hit[..., None], best_uv, 0.0),
         distance=jnp.where(best_hit, best_dist, M.flt_max))
+
+
+def overlap_scene_bruteforce(scene: FlatScene, pos, dist_max,
+                             kinds=None) -> SceneIntersection:
+    """Closest-primitive point-overlap query over all candidates
+    (overlap_scene_bvh semantics, yocto_bvh.cpp:638-781: the query point
+    is transformed into each instance's frame with the non-rigid inverse
+    and distances compare in local space, like the reference).
+    pos: [R,3]; dist_max: scalar or [R]."""
+    inv = scene.inst_inv_frame[scene.cand_inst]     # [C,4,3]
+    verts = scene.elements[scene.cand_elem]         # [C,4]
+    p = scene.positions[verts]                      # [C,4,3]
+    rads = scene.radius[verts]                      # [C,4]
+    shape = scene.inst_shape[scene.cand_inst]
+    kind = scene.shape_kind[shape]                  # [C]
+    if kinds is None:
+        kinds = (KIND_POINTS, KIND_LINES, 2, 3)
+
+    local_p = (pos[:, None, 0:1] * inv[None, :, 0, :]
+               + pos[:, None, 1:2] * inv[None, :, 1, :]
+               + pos[:, None, 2:3] * inv[None, :, 2, :]
+               + inv[None, :, 3, :])                            # [R,C,3]
+    dmax = jnp.broadcast_to(jnp.asarray(dist_max, jnp.float32),
+                            (pos.shape[0],))[:, None]           # [R,1]
+    p0, p1, p2, p3 = (p[None, :, k, :] for k in range(4))
+    r0, r1, r2, r3 = (rads[None, :, k] for k in range(4))
+
+    hit = uv = dist = None
+    if (2 in kinds) or (3 in kinds):
+        o = G.overlap_quad(local_p, dmax, p0, p1, p2, p3, r0, r1, r2, r3)
+        hit, uv, dist = o.hit, o.uv, o.distance
+    if KIND_LINES in kinds:
+        ol = G.overlap_line(local_p, dmax, p0, p1, r0, r1)
+        if hit is None:
+            hit, uv, dist = ol.hit, ol.uv, ol.distance
+        else:
+            is_line = (kind == KIND_LINES)[None, :]
+            hit = jnp.where(is_line, ol.hit, hit)
+            uv = jnp.where(is_line[..., None], ol.uv, uv)
+            dist = jnp.where(is_line, ol.distance, dist)
+    if KIND_POINTS in kinds:
+        op = G.overlap_point(local_p, dmax, p0, r0)
+        if hit is None:
+            hit, uv, dist = op.hit, op.uv, op.distance
+        else:
+            is_pt = (kind == KIND_POINTS)[None, :]
+            hit = jnp.where(is_pt, op.hit, hit)
+            uv = jnp.where(is_pt[..., None], op.uv, uv)
+            dist = jnp.where(is_pt, op.distance, dist)
+
+    dist = jnp.where(hit, dist, M.flt_max)
+    best = jnp.argmin(dist, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    bhit = take(hit)
+    bdist = take(dist)
+    buv = jnp.take_along_axis(uv, best[:, None, None], axis=1)[:, 0]
+    binst = scene.cand_inst[best]
+    gelem = scene.cand_elem[best]
+    elem_local = gelem - scene.shape_elem_start[
+        scene.inst_shape[binst]]
+    return SceneIntersection(
+        hit=bhit,
+        instance=jnp.where(bhit, binst, -1),
+        element=jnp.where(bhit, elem_local, -1),
+        uv=jnp.where(bhit[:, None], buv, 0.0),
+        distance=jnp.where(bhit, bdist, M.flt_max))
