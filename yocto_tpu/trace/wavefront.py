@@ -683,12 +683,19 @@ class WavefrontRenderer:
             lanes, img, albedo, normal, hits = shade(
                 flat, lights, lanes, hit, inst_g, elem_l, uv_g, dist,
                 img, albedo, normal, hits, first_bounce=(it == 0))
-            live = np.asarray(lanes.pix >= 0)
-            nlive = int(live.sum())
+            if it < 1:
+                # lanes rarely die before the first shade; skip the
+                # host sync entirely (a sync costs a full dispatch
+                # round-trip through the tunnel)
+                continue
+            # scalar liveness first: the full mask transfer is only
+            # needed when the bucket actually shrinks
+            nlive = int(jnp.sum(lanes.pix >= 0))
             if nlive == 0:
                 break
             bucket = _next_bucket(nlive)
             if bucket < lanes.pix.shape[0]:
+                live = np.asarray(lanes.pix >= 0)
                 idx_np = np.nonzero(live)[0]
                 dead = np.nonzero(~live)[0]
                 pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
@@ -1488,12 +1495,14 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 hit_b, inst_b, elem_b, uv_b, inst_g, elem_l, uv_g, hit,
                 tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
                 first_bounce=(it == 0))
-            live = np.asarray(lanes.pix >= 0)
-            nlive = int(live.sum())
+            if it < 1:
+                continue  # no deaths expected before the first shade
+            nlive = int(jnp.sum(lanes.pix >= 0))
             if nlive == 0:
                 break
             bucket = _next_bucket(nlive)
             if bucket < lanes.pix.shape[0]:
+                live = np.asarray(lanes.pix >= 0)
                 idx_np = np.nonzero(live)[0]
                 dead = np.nonzero(~live)[0]
                 pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
@@ -1556,12 +1565,14 @@ class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
                 hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit,
                 tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
                 first_bounce=(it == 0))
-            live = np.asarray(lanes.pix >= 0)
-            nlive = int(live.sum())
+            if it < 1:
+                continue  # no deaths expected before the first shade
+            nlive = int(jnp.sum(lanes.pix >= 0))
             if nlive == 0:
                 break
             bucket = _next_bucket(nlive)
             if bucket < lanes.pix.shape[0]:
+                live = np.asarray(lanes.pix >= 0)
                 idx_np = np.nonzero(live)[0]
                 dead = np.nonzero(~live)[0]
                 pad_val = int(dead[0]) if len(dead) else int(idx_np[0])
