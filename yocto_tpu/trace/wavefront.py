@@ -129,8 +129,22 @@ class WavefrontRenderer:
             self.bvh = None
         self._jits = {}
         # observability (SURVEY.md §5): per-sample wavefront occupancy
+        # + per-stage ray throughput (rays/s over the last sample batch)
         self.stats = {"bounce_lanes": [], "trav_rounds": 0,
-                      "samples": 0}
+                      "samples": 0, "rays_per_sec": 0.0,
+                      "rays_traced": 0}
+        self._t_sample = None
+
+    def _note_rays(self, bounce_lanes):
+        """Per-sample rays/s: lanes summed over bounces / wall time."""
+        import time as _time
+        now = _time.perf_counter()
+        rays = int(sum(bounce_lanes))
+        self.stats["rays_traced"] += rays
+        if self._t_sample is not None:
+            dt = max(now - self._t_sample, 1e-9)
+            self.stats["rays_per_sec"] = rays / dt
+        self._t_sample = now
 
     # ------------------------------------------------------------------
     # jitted stages (cached per bucket size via shape polymorphism of jit)
@@ -709,6 +723,7 @@ class WavefrontRenderer:
                               jnp.full_like(lanes.pix, -1))
         self.stats["bounce_lanes"] = bounce_lanes
         self.stats["samples"] += 1
+        self._note_rays(bounce_lanes)
         return img, albedo, normal, hits
 
     # ------------------------------------------------------------------
