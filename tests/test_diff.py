@@ -303,3 +303,54 @@ def test_volume_grad_matches_fd(setup_volume, field, idx, eps, rtol):
     scale = max(abs(fd), abs(ad), 1e-3)
     assert abs(ad - fd) / scale < rtol, (field, idx, ad, fd)
     assert abs(ad) > 1e-5, (field, idx, ad, fd)
+
+
+# ---------------------------------------------------------------------------
+# scalable intersection: detached BVH hit-finding + attached re-intersection
+# ---------------------------------------------------------------------------
+
+class TestBvhIntersector:
+    """DiffRenderer(intersector='bvh') must agree with the brute-force
+    dense sweep in forward radiance and in FD-validated gradients —
+    the detached-find/attached-reintersect split (make_attached_intersect)
+    is exactly the gradient semantics of the dense argmin."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        params = TraceParams(resolution=12, samples=2, bounces=2,
+                             sampler=SamplerType.path)
+        scene = _scene()
+        dr_bf = DiffRenderer(scene, params, intersector="bruteforce")
+        dr_bvh = DiffRenderer(scene, params, intersector="bvh")
+        theta0 = dr_bf.theta()
+        return dr_bf, dr_bvh, theta0
+
+    def test_forward_matches_bruteforce(self, pair):
+        dr_bf, dr_bvh, theta0 = pair
+        a = np.asarray(dr_bf.render(theta0, theta_sampling=theta0))
+        b = np.asarray(dr_bvh.render(theta0, theta_sampling=theta0))
+        # same hits -> same radiance; allow a tiny tail of tie-broken lanes
+        close = np.isclose(a, b, rtol=1e-4, atol=1e-5)
+        assert close.mean() > 0.999, (1 - close.mean())
+
+    @pytest.mark.parametrize("field,idx,eps,rtol", [
+        ("mat_emission", (7, 1), 1e-2, 2e-2),
+        ("mat_color", (2, 0), 1e-2, 2e-2),
+        ("positions", (1, 0), 1e-3, 1e-1),   # wall vertex (interior term)
+    ])
+    def test_grad_matches_fd(self, pair, field, idx, eps, rtol):
+        _, dr_bvh, theta0 = pair
+        rng = np.random.RandomState(11)
+        wimg = jnp.asarray(
+            rng.rand(dr_bvh.height, dr_bvh.width, 3).astype(np.float32))
+
+        def loss(theta):
+            return jnp.sum(dr_bvh.render(theta, theta_sampling=theta0)
+                           * wimg)
+
+        g = jax.grad(loss)(theta0)
+        fd = _fd(loss, theta0, field, idx, eps)
+        ad = float(np.asarray(g[field])[idx])
+        assert np.isfinite(ad)
+        scale = max(abs(fd), abs(ad), 1e-3)
+        assert abs(ad - fd) / scale < rtol, (field, idx, ad, fd)

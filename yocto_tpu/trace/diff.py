@@ -47,7 +47,8 @@ from ..ops import rng as R
 from ..ops import sampling as SMP
 from . import bsdf as B
 from .compile import FlatScene, compile_scene, scene_features
-from .intersect import intersect_scene_bruteforce
+from .intersect import (RAY_EPS, SceneIntersection, _intersect_element,
+                        intersect_scene_bruteforce)
 from .lights import make_trace_lights, sample_lights, sample_lights_pdf
 from .params import TraceParams
 from .pathtrace import _nee_emission
@@ -95,6 +96,57 @@ def _clamp_st(radiance, clamp):
 
 def _where3(c, a, b):
     return jnp.where(c[..., None], a, b)
+
+
+def make_attached_intersect(fast_fn, kinds=None):
+    """Scalable differentiable intersection: detached hit-FINDING through
+    any fast non-differentiable intersector (threaded BVH walk or the
+    Pallas cluster kernel), then a differentiable re-intersection of the
+    single chosen element per lane.
+
+    Gradient semantics match `intersect_scene_bruteforce` exactly: there,
+    the argmin *choice* of the closest candidate is already detached
+    (integer indices carry no tangents) while the selected uv/distance are
+    attached — this wrapper reproduces that split without the O(R x C)
+    dense sweep, unpinning the diff renderer from brute force
+    (BASELINE.md round-1 known gap). Lanes whose re-intersection
+    numerically misses (epsilon disagreements between traversal and the
+    dense test) fall back to the detached uv/distance: zero geometry
+    gradient for that lane rather than a wrong one.
+    """
+
+    def intersect(scene: FlatScene, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
+        ids = fast_fn(_sg(scene), _sg(ro), _sg(rd), tmin=tmin,
+                      tmax=_sg(tmax))
+        ids = _sg(ids)
+        inst = jnp.maximum(ids.instance, 0)
+        shape = scene.inst_shape[inst]
+        gelem = scene.shape_elem_start[shape] + jnp.maximum(ids.element, 0)
+        inv = scene.inst_inv_frame[inst]                     # [R,4,3]
+        local_o = (ro[..., 0:1] * inv[..., 0, :]
+                   + ro[..., 1:2] * inv[..., 1, :]
+                   + ro[..., 2:3] * inv[..., 2, :] + inv[..., 3, :])
+        local_d = (rd[..., 0:1] * inv[..., 0, :]
+                   + rd[..., 1:2] * inv[..., 1, :]
+                   + rd[..., 2:3] * inv[..., 2, :])
+        verts = scene.elements[gelem]                        # [R,4]
+        p = scene.positions[verts]                           # [R,4,3]
+        rads = scene.radius[verts]                           # [R,4]
+        kind = scene.shape_kind[shape]                       # [R]
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32),
+                                  inst.shape)
+        tmax_b = jnp.full(inst.shape, M.flt_max, jnp.float32)
+        hit, uv, dist = _intersect_element(local_o, local_d, tmin_b,
+                                           tmax_b, p, rads, kind,
+                                           kinds=kinds)
+        ok = ids.hit & hit
+        uv = jnp.where(ok[..., None], uv, ids.uv)
+        dist = jnp.where(ok, dist, ids.distance)
+        return SceneIntersection(hit=ids.hit, instance=ids.instance,
+                                 element=ids.element, uv=uv,
+                                 distance=dist)
+
+    return intersect
 
 
 def make_diff_path_sampler(lights, meta, params: TraceParams, features,
@@ -543,11 +595,19 @@ class DiffRenderer:
     stop_gradient(theta), the standard detached estimator)."""
 
     def __init__(self, scene: SceneData, params: TraceParams,
-                 spp: Optional[int] = None, estimator: str = "mis"):
+                 spp: Optional[int] = None, estimator: str = "mis",
+                 intersector: str = "auto"):
         """estimator: 'mis' (trace_path analogue; best variance for
         material/emission/texture gradients) or 'nee' (area-measure
         next-event estimation; additionally recovers interior geometry
-        gradients - camera, vertex positions, instance frames)."""
+        gradients - camera, vertex positions, instance frames).
+
+        intersector: 'bruteforce' (dense differentiable sweep; exact but
+        O(rays x elements)), 'bvh' (threaded BVH walk detached +
+        per-lane differentiable re-intersection via
+        make_attached_intersect), 'cluster' (Pallas cluster kernel
+        detached, same re-intersection; TPU-scale scenes), or 'auto'
+        (bruteforce for small scenes, bvh beyond 4096 candidates)."""
         self.params = params
         self.scene_host = scene
         self.flat = compile_scene(scene)
@@ -562,10 +622,29 @@ class DiffRenderer:
         self.lights, self.meta = make_trace_lights(scene)
         self.width, self.height = render_size(scene, params)
         self.spp = spp if spp is not None else params.samples
+        if intersector == "auto":
+            ncand = int(self.flat.cand_inst.shape[0])
+            intersector = "bruteforce" if ncand <= 4096 else "bvh"
+        self.intersector = intersector
+        if intersector == "bruteforce":
+            intersect_fn = None
+        elif intersector == "bvh":
+            from .bvh import build_scene_bvh, make_bvh_intersector
+            fast = make_bvh_intersector(build_scene_bvh(scene),
+                                        kinds=self.features.kinds)
+            intersect_fn = make_attached_intersect(
+                fast, kinds=self.features.kinds)
+        elif intersector == "cluster":
+            from .pallas_cluster import ClusterIntersector
+            fast = ClusterIntersector(scene, kinds=self.features.kinds)
+            intersect_fn = make_attached_intersect(
+                fast, kinds=self.features.kinds)
+        else:
+            raise ValueError(f"unknown intersector {intersector!r}")
         builder = (make_diff_pathdirect_sampler if estimator == "nee"
                    else make_diff_path_sampler)
         self._sampler = builder(self.lights, self.meta, params,
-                                self.features)
+                                self.features, intersect_fn=intersect_fn)
 
         width, height = self.width, self.height
         n = width * height
