@@ -1,23 +1,27 @@
-"""Fused Pallas path-tracing megakernel for small matte scenes.
+"""Fused Pallas path-tracing megakernel for small rough-lobe scenes.
 
-For Cornell-class scenes (<=512 elements, matte-only materials, no
-textures/vertex attributes, area lights, no environment) the entire
-8-bounce `trace_path` estimator runs in ONE kernel: rays, PCG32 state,
-weights, and radiance live in vector registers; candidates, materials,
-and light geometry are compile-time immediates. The only HBM traffic is
-camera rays + RNG in, radiance + AOVs + RNG out — against ~50 separate
-XLA kernels per bounce for the lockstep sampler. This is the
-speed-of-light configuration of SURVEY.md §7 step 6 for the benchmark
-workload (BASELINE.json config 1/2).
+For Cornell-class scenes (<=512 elements, matte/glossy/reflective
+materials with no delta lobes, no textures/vertex attributes, area
+lights, no environment) the entire 8-bounce `trace_path` estimator runs
+in ONE kernel: rays, PCG32 state, weights, and radiance live in vector
+registers; candidates, materials, and light geometry are compile-time
+immediates. The only HBM traffic is camera rays + RNG in, radiance +
+AOVs + RNG out — against ~50 separate XLA kernels per bounce for the
+lockstep sampler. This is the speed-of-light configuration of
+SURVEY.md §7 step 6 for the benchmark workload (BASELINE.json
+config 1/2).
 
 Semantics: the same draw sites in the same order as the lockstep path
-sampler specialized to matte scenes (r_choice, rn2, rnl, ruv, rel, rl,
-r_rr per bounce, all mask-guarded), the same closest-hit rule, the same
-MIS weights and Russian roulette — so per-pixel streams continue the
-lockstep state exactly. The one intentional deviation: the shading point
-is origin + t*direction rather than barycentric interpolation (equal
-geometrically, a few ulps apart), so images match the lockstep renderer
-to float precision rather than bitwise.
+sampler specialized to these feature sets (r_choice, rn2, rnl, ruv,
+rel, rl, r_rr per bounce, all mask-guarded), the same closest-hit rule,
+the same GGX lobes (yocto_shading.h:409-731 formulas), the same MIS
+weights and Russian roulette — so per-pixel streams continue the
+lockstep state exactly. Two intentional float-precision deviations:
+the shading point is origin + t*direction rather than barycentric
+interpolation, and the microfacet angle uses the algebraic identity
+cos(arctan(x)) = 1/sqrt(1+x^2) instead of arctan+cos (equal
+mathematically, a few ulps apart), so images match the lockstep
+renderer to float precision rather than bitwise.
 """
 
 from __future__ import annotations
@@ -49,7 +53,9 @@ def supports_pallas_path(scene: SceneData, features: SceneFeatures,
         return False
     if params.nocaustics or params.tentfilter:
         return False
-    if tuple(features.mat_types) != (int(MaterialType.matte),):
+    if not set(features.mat_types) <= {int(MaterialType.matte),
+                                       int(MaterialType.glossy),
+                                       int(MaterialType.reflective)}:
         return False
     if (features.has_volumes or features.has_opacity or features.has_delta
             or features.has_emission_tex or features.has_color_tex
@@ -109,6 +115,19 @@ def _host_scene_tables(scene: SceneData):
         c["color"] = [float(x) for x in np.asarray(mat.color, np.float32)]
         c["emission"] = [float(x)
                          for x in np.asarray(mat.emission, np.float32)]
+        # eval_material's processed scalars (sceneval.py:353-389, no
+        # textures): roughness squared then type-dependent clamping
+        from .sceneval import MIN_ROUGHNESS
+        ty = int(mat.type)
+        r2 = float(np.float32(mat.roughness) * np.float32(mat.roughness))
+        if ty in (int(MaterialType.matte), int(MaterialType.glossy),
+                  int(MaterialType.gltfpbr)):
+            r2 = min(max(r2, MIN_ROUGHNESS), 1.0)
+        elif r2 < MIN_ROUGHNESS:
+            r2 = 0.0
+        c["ty"] = float(ty)
+        c["rough"] = r2
+        c["ior"] = float(mat.ior)
         # identity instances keep inv=None from _host_candidates; general
         # frames were already handled there
 
@@ -171,21 +190,87 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
-def _cosine_dir(nx, ny, nz, r1, r2):
-    """sample_hemisphere_cos with the Pixar ONB (mathops.basis_fromz)."""
-    z = jnp.sqrt(r2)
-    r = jnp.sqrt(1.0 - z * z)
-    phi = 2.0 * M.pif * r1
-    lx = r * jnp.cos(phi)
-    ly = r * jnp.sin(phi)
+def _onb_mul(nx, ny, nz, lx, ly, lz):
+    """Local -> world through the Pixar ONB of n (mathops.basis_fromz)."""
     sign = jnp.where(nz >= 0.0, 1.0, -1.0)
     a = -1.0 / (sign + nz)
     b = nx * ny * a
     bx0, bx1, bx2 = 1.0 + sign * nx * nx * a, sign * b, -sign * nx
     by0, by1, by2 = b, sign + ny * ny * a, -ny
-    return (lx * bx0 + ly * by0 + z * nx,
-            lx * bx1 + ly * by1 + z * ny,
-            lx * bx2 + ly * by2 + z * nz)
+    return (lx * bx0 + ly * by0 + lz * nx,
+            lx * bx1 + ly * by1 + lz * ny,
+            lx * bx2 + ly * by2 + lz * nz)
+
+
+def _cosine_dir(nx, ny, nz, r1, r2):
+    """sample_hemisphere_cos with the Pixar ONB (mathops.basis_fromz)."""
+    z = jnp.sqrt(r2)
+    r = jnp.sqrt(1.0 - z * z)
+    phi = 2.0 * M.pif * r1
+    return _onb_mul(nx, ny, nz, r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def _microfacet_dir(rough, nx, ny, nz, r1, r2):
+    """sample_microfacet NDF halfway (yocto_shading.h:457-472, GGX) with
+    cos(arctan(x)) = 1/sqrt(1+x^2) in place of arctan+cos/sin."""
+    phi = 2.0 * M.pif * r1
+    denom = jnp.maximum(1.0 - r2, 1e-20)
+    t = rough * jnp.sqrt(r2 / denom)
+    ct = 1.0 / jnp.sqrt(1.0 + t * t)
+    st = t * ct
+    return _onb_mul(nx, ny, nz, jnp.cos(phi) * st, jnp.sin(phi) * st, ct)
+
+
+def _fresnel_dielectric_p(eta, cosw):
+    """fresnel_dielectric on |cos| planes (yocto_shading.h:105-135)."""
+    cosw = jnp.abs(cosw)
+    sin2 = 1.0 - cosw * cosw
+    eta2 = eta * eta
+    cos2t = 1.0 - sin2 / eta2
+    t0 = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    t1 = eta * t0
+    t2 = eta * cosw
+    rs = (cosw - t1) / (cosw + t1)
+    rp = (t0 - t2) / (t0 + t2)
+    f = (rs * rs + rp * rp) / 2.0
+    return jnp.where(cos2t < 0.0, 1.0, f)
+
+
+def _fresnel_conductor_p(eta, cosw):
+    """fresnel_conductor with etak=0 on planes (yocto_shading.h:137-169;
+    reflectivity_to_eta path of eval_reflective)."""
+    valid = cosw > 0.0
+    cosw = jnp.clip(cosw, -1.0, 1.0)
+    cos2 = cosw * cosw
+    sin2 = jnp.clip(1.0 - cos2, 0.0, 1.0)
+    eta2 = eta * eta
+    t0 = eta2 - sin2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0, 0.0))
+    t1 = a2b2 + cos2
+    a = jnp.sqrt(jnp.maximum((a2b2 + t0) / 2.0, 0.0))
+    t2 = 2.0 * a * cosw
+    rs = (t1 - t2) / (t1 + t2)
+    t3 = cos2 * a2b2 + sin2 * sin2
+    t4 = t2 * sin2
+    rp = rs * (t3 - t4) / (t3 + t4)
+    return jnp.where(valid, (rp + rs) / 2.0, 0.0)
+
+
+def _ggx_d(rough, coshn):
+    """microfacet_distribution (GGX, yocto_shading.h:118-127)."""
+    r2 = rough * rough
+    c2 = coshn * coshn
+    d = r2 / (M.pif * (c2 * r2 + 1.0 - c2) ** 2)
+    return jnp.where(coshn <= 0.0, 0.0, d)
+
+
+def _ggx_g1(rough, cosn, cosh):
+    """microfacet_shadowing1 (GGX, yocto_shading.h:129-144)."""
+    r2 = rough * rough
+    c2 = cosn * cosn
+    g = 2.0 * jnp.abs(cosn) / (
+        jnp.abs(cosn) + jnp.sqrt(jnp.maximum(c2 - r2 * c2 + r2, 0.0)))
+    return jnp.where(cosn * cosh <= 0.0, 0.0, g)
 
 
 def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
@@ -196,6 +281,13 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
     bounces = int(params.bounces)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # static lobe inventory: lobes no candidate can select are not traced
+    # (mirrors SceneFeatures.mat_types specialization in trace/bsdf.py)
+    has_matte = any(c["ty"] == float(MaterialType.matte) for c in cands)
+    has_glossy = any(c["ty"] == float(MaterialType.glossy) for c in cands)
+    has_refl = any(c["ty"] == float(MaterialType.reflective)
+                   for c in cands)
+    has_spec = has_glossy or has_refl
 
     def closest_hit(rox, roy, roz, rdx, rdy, rdz):
         """Baked-candidate sweep -> per-lane best hit + shading data."""
@@ -204,6 +296,10 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
         bhit = jnp.zeros(rox.shape, jnp.bool_)
         attrs = {k: [jnp.zeros(rox.shape, jnp.float32) for _ in range(3)]
                  for k in ("n", "col", "em")}
+        if has_spec:
+            attrs["ty"] = [jnp.full(rox.shape, -1.0, jnp.float32)]
+            attrs["rough"] = [jnp.zeros(rox.shape, jnp.float32)]
+            attrs["ior"] = [jnp.ones(rox.shape, jnp.float32)]
         tmin = jnp.full(rox.shape, float(RAY_EPS), jnp.float32)
         tmax = jnp.full(rox.shape, inf, jnp.float32)
         for c in cands:
@@ -228,10 +324,14 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             # boolean select via logical ops (Mosaic lacks i1 select)
             bhit = (better & hit) | (~better & bhit)
             bt = jnp.where(better, t, bt)
-            for key, src in (("n", c["normal"]), ("col", c["color"]),
-                             ("em", c["emission"])):
+            sel = [("n", c["normal"]), ("col", c["color"]),
+                   ("em", c["emission"])]
+            if has_spec:
+                sel += [("ty", [c["ty"]]), ("rough", [c["rough"]]),
+                        ("ior", [c["ior"]])]
+            for key, src in sel:
                 attrs[key] = [jnp.where(better, src[a], attrs[key][a])
-                              for a in range(3)]
+                              for a in range(len(src))]
         return bhit, bt, attrs
 
     def light_pdf(px, py, pz, dx, dy, dz):
@@ -351,14 +451,47 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             lb = jnp.where(emit, lb + wb * attrs["em"][2], lb)
 
             # next direction: 50/50 BSDF/light one-sample MIS
-            nd = shade  # matte is never delta
+            nd = shade  # no delta lobes qualify (supports_pallas_path)
             r_choice, rng = R.rand1f_if(rng, nd)
             use_bsdf = r_choice < 0.5
             rb1, rng = R.rand1f_if(rng, nd & use_bsdf)
             rb2, rng = R.rand1f_if(rng, nd & use_bsdf)
             rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
-            del rnl  # drawn for stream parity; matte ignores the lobe rand
-            bx, by, bz = _cosine_dir(nx, ny, nz, rb1, rb2)
+            cr, cg, cb = attrs["col"]
+            if has_spec:
+                ty = attrs["ty"][0]
+                rough = attrs["rough"][0]
+                is_g = ty == float(MaterialType.glossy)
+                is_r = ty == float(MaterialType.reflective)
+                ndo_f = nx * ox + ny * oy + nz * oz
+                # sample_microfacet + reflect (sample_glossy/reflective)
+                hx, hy, hz = _microfacet_dir(rough, nx, ny, nz, rb1, rb2)
+                doh = ox * hx + oy * hy + oz * hz
+                sx = 2.0 * doh * hx - ox
+                sy = 2.0 * doh * hy - oy
+                sz = 2.0 * doh * hz - oz
+                spec_ok = ndo_f * (nx * sx + ny * sy + nz * sz) > 0.0
+                if has_glossy:
+                    ior = attrs["ior"][0]
+                    F1 = _fresnel_dielectric_p(ior, ndo_f)
+                    take_spec = is_r | (is_g & (rnl < F1))
+                else:
+                    take_spec = is_r
+                if has_matte or has_glossy:
+                    cxd, cyd, czd = _cosine_dir(nx, ny, nz, rb1, rb2)
+                    bx = jnp.where(take_spec, sx, cxd)
+                    by = jnp.where(take_spec, sy, cyd)
+                    bz = jnp.where(take_spec, sz, czd)
+                else:
+                    bx, by, bz = sx, sy, sz
+                # specular pick landing under the surface samples zero
+                sbad = take_spec & ~spec_ok
+                bx = jnp.where(sbad, 0.0, bx)
+                by = jnp.where(sbad, 0.0, by)
+                bz = jnp.where(sbad, 0.0, bz)
+            else:
+                del rnl  # drawn for stream parity; matte ignores it
+                bx, by, bz = _cosine_dir(nx, ny, nz, rb1, rb2)
             ru, rng = R.rand1f_if(rng, nd & ~use_bsdf)
             rv, rng = R.rand1f_if(rng, nd & ~use_bsdf)
             rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
@@ -375,17 +508,88 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             ndo2 = nx * ox + ny * oy + nz * oz
             valid = (ndi * ndo2) > 0.0
             absndi = jnp.abs(ndi)
-            # f = color/pi * |n.i| (eval_matte); pdf_b = cos/pi
-            # (sample_matte_pdf with up_normal == flipped normal)
-            pdf_b = jnp.where(valid & (ndi > 0.0), ndi / M.pif, 0.0)
-            pdf_l = light_pdf(px, py, pz, ix, iy, iz)
-            pdf = 0.5 * pdf_b + 0.5 * pdf_l
-            safe = jnp.where(pdf == 0.0, 1.0, pdf)
-            fw = jnp.where(valid, absndi / M.pif, 0.0) / safe
+            # sample_hemisphere_cos_pdf on the flipped normal
+            pdf_cos = jnp.where(ndi <= 0.0, 0.0, ndi / M.pif)
             ok = nd & ~zero_inc
-            wr = jnp.where(ok, wr * attrs["col"][0] * fw, wr)
-            wg = jnp.where(ok, wg * attrs["col"][1] * fw, wg)
-            wb = jnp.where(ok, wb * attrs["col"][2] * fw, wb)
+            if not has_spec:
+                # f = color/pi * |n.i| (eval_matte); pdf = cos/pi
+                pdf_b = jnp.where(valid, pdf_cos, 0.0)
+                pdf_l = light_pdf(px, py, pz, ix, iy, iz)
+                pdf = 0.5 * pdf_b + 0.5 * pdf_l
+                safe = jnp.where(pdf == 0.0, 1.0, pdf)
+                fw = jnp.where(valid, absndi / M.pif, 0.0) / safe
+                wr = jnp.where(ok, wr * cr * fw, wr)
+                wg = jnp.where(ok, wg * cg * fw, wg)
+                wb = jnp.where(ok, wb * cb * fw, wb)
+            else:
+                # shared GGX terms on the eval halfway (yocto_shading.h
+                # eval_glossy/eval_reflective and their pdfs)
+                ex, ey, ez = _normalize3(ix + ox, iy + oy, iz + oz)
+                coshn = nx * ex + ny * ey + nz * ez
+                cosho = ox * ex + oy * ey + oz * ez
+                coshi = ix * ex + iy * ey + iz * ez
+                D = _ggx_d(rough, coshn)
+                G = (_ggx_g1(rough, ndo2, cosho)
+                     * _ggx_g1(rough, ndi, coshi))
+                denom = 4.0 * ndo2 * ndi
+                safe_den = jnp.where(denom == 0.0, 1.0, denom)
+                spec_term = D * G / safe_den * absndi
+                mfp = jnp.where(coshn < 0.0, 0.0, D * coshn)
+                abs_doh = jnp.abs(cosho)
+                safe_doh = jnp.where(abs_doh == 0.0, 1.0, abs_doh)
+                pdf_spec = mfp / (4.0 * safe_doh)
+
+                f_r = jnp.zeros_like(cr)
+                f_g = jnp.zeros_like(cr)
+                f_b = jnp.zeros_like(cr)
+                pdf_b = jnp.zeros_like(cr)
+                if has_matte:
+                    is_m = ty == float(MaterialType.matte)
+                    lam = absndi / M.pif
+                    f_r = jnp.where(is_m, cr * lam, f_r)
+                    f_g = jnp.where(is_m, cg * lam, f_g)
+                    f_b = jnp.where(is_m, cb * lam, f_b)
+                    pdf_b = jnp.where(is_m, pdf_cos, pdf_b)
+                if has_glossy:
+                    Fh = _fresnel_dielectric_p(ior, coshi)
+                    base = (1.0 - F1) / M.pif * absndi
+                    spec_g = Fh * spec_term
+                    f_r = jnp.where(is_g, cr * base + spec_g, f_r)
+                    f_g = jnp.where(is_g, cg * base + spec_g, f_g)
+                    f_b = jnp.where(is_g, cb * base + spec_g, f_b)
+                    pdf_b = jnp.where(
+                        is_g, F1 * pdf_spec + (1.0 - F1) * pdf_cos, pdf_b)
+                if has_refl:
+                    # fresnel_conductor(reflectivity_to_eta(color), 0)
+                    def _eta(c):
+                        rt = jnp.sqrt(jnp.clip(c, 0.0, 0.99))
+                        return (1.0 + rt) / (1.0 - rt)
+                    f_r = jnp.where(
+                        is_r,
+                        _fresnel_conductor_p(_eta(cr), coshi) * spec_term,
+                        f_r)
+                    f_g = jnp.where(
+                        is_r,
+                        _fresnel_conductor_p(_eta(cg), coshi) * spec_term,
+                        f_g)
+                    f_b = jnp.where(
+                        is_r,
+                        _fresnel_conductor_p(_eta(cb), coshi) * spec_term,
+                        f_b)
+                    pdf_b = jnp.where(is_r, pdf_spec, pdf_b)
+                # each lobe eval returns 0 on invalid incoming, so ok
+                # lanes with f == 0 die at the weight-sanity check below,
+                # exactly like the lockstep sampler
+                f_r = jnp.where(valid, f_r, 0.0)
+                f_g = jnp.where(valid, f_g, 0.0)
+                f_b = jnp.where(valid, f_b, 0.0)
+                pdf_b = jnp.where(valid, pdf_b, 0.0)
+                pdf_l = light_pdf(px, py, pz, ix, iy, iz)
+                pdf = 0.5 * pdf_b + 0.5 * pdf_l
+                safe = jnp.where(pdf == 0.0, 1.0, pdf)
+                wr = jnp.where(ok, wr * f_r / safe, wr)
+                wg = jnp.where(ok, wg * f_g / safe, wg)
+                wb = jnp.where(ok, wb * f_b / safe, wb)
 
             # weight sanity
             wzero = (wr == 0.0) & (wg == 0.0) & (wb == 0.0)

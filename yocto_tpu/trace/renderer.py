@@ -309,8 +309,9 @@ class Renderer:
         # fused Pallas sweep for the dense path (TPU only; the CPU/test
         # path keeps the pure-jnp reference intersector)
         if mode == "dense" and on_tpu:
-            # full path-tracing megakernel for qualifying small matte
-            # scenes: one kernel per sample instead of ~50 XLA kernels
+            # full path-tracing megakernel for qualifying small scenes
+            # (matte/glossy/reflective rough lobes, no textures/delta):
+            # one kernel per sample instead of ~50 XLA kernels
             # per bounce (same draw sites/streams as the lockstep sampler)
             from .pallas_path import (make_pallas_path_sampler,
                                       supports_pallas_path)
