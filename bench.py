@@ -48,7 +48,8 @@ FEATURES1 = "/root/reference/tests/features1/features1.json"
 FLOPS_PER_PATH = 4 * (60 * 27 + 8 * 90 + 600)
 PEAK_BF16 = 197e12          # v5e MXU peak
 PEAK_VPU_F32 = 0.96e12      # v5e VPU, 8x128 lanes @ ~940 MHz
-OPS_PER_TEST = 90           # transform + Moller-Trumbore (tri-only clusters)
+OPS_PER_TEST = 76           # precomputed-edge Moller-Trumbore + closest-hit
+                            # reduce epilogue (world-space tri clusters)
 
 
 def _ref_cornell(default=558500.0):
@@ -139,11 +140,11 @@ def bench_vpu_util():
          np.zeros((R, 7), np.float32)], axis=1))
     clist = jnp.tile(jnp.arange(C, dtype=jnp.int32)[None], (ntiles, 1))
     centry = jnp.zeros((ntiles, C), jnp.float32)
-    cquad = jnp.where(isect.c_quad > 0, 1, 0)[None].repeat(ntiles, 0)
+    ckind = isect.c_kind[None].repeat(ntiles, 0)
 
     def run(rays):
-        return PC._run_sweep(rays, isect.prims, clist, centry, cquad,
-                             isect.cluster, isect.kinds, False,
+        return PC._run_sweep(rays, isect.prims, clist, centry, ckind,
+                             isect.cluster, isect.variants, False,
                              ray_tile=isect.ray_tile)
     g = jax.jit(run)
     out = g(rays)

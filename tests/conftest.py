@@ -16,7 +16,17 @@ if (_backend == "cpu"
 if _backend == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
 
+# persistent compile cache: XLA CPU compiles take minutes for the big
+# sampler graphs on this 1-core host; caching makes re-runs fast
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+
 import jax  # noqa: E402
 
 if _backend == "cpu":
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    # cache everything, including small/fast-compiling executables
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -30,9 +30,11 @@ correctness path) vs THIS module, which replaces per-lane pointer chasing
    lane can improve — a lane can improve only while slots remain with
    entry <= its own last entry and < its current best (the tile-granular
    analogue of ordered stack traversal with tmax shrink,
-   yocto_bvh.cpp:460-552). All-triangle clusters skip the second
-   split-quad triangle test. Primitive tests are identical to the dense
-   kernel (yocto_geometry.h:697-836 semantics).
+   yocto_bvh.cpp:460-552). Each cluster is homogeneous in primitive kind
+   and statically dispatched (pl.when) to a specialized sweep variant:
+   triangles/quads are baked WORLD-SPACE with precomputed Moller-Trumbore
+   edges (no per-test ray transform), lines/points stay instance-local
+   (yocto_geometry.h:697-836 semantics).
 
 Closest-hit equals brute force up to candidate-order tie-breaks at exactly
 equal t. Tiles hitting more than `max_slots` clusters drop the farthest
@@ -132,18 +134,40 @@ def _bvh_treelets(sb, cluster):
     return out
 
 
+# per-cluster sweep variants (static dispatch inside the kernel)
+VAR_TRI = 0    # world-space triangles, precomputed edges, 1 test/slot
+VAR_QUAD = 1   # world-space split-quads, precomputed edges, 2 tests/slot
+VAR_LINE = 2   # instance-local lines (ray transform; radius semantics)
+VAR_POINT = 3  # instance-local points
+
+
 def build_cluster_tables(scene: SceneData, cluster: int = CLUSTER,
                          highquality: bool = False):
-    """Host build -> (prims [32, C*cluster], cbmin [C,3], cbmax [C,3]).
+    """Host build -> (prims [32, C*cluster], cbmin [C,3], cbmax [C,3],
+    ckind [C]).
 
-    Candidate layout matches pallas_intersect.pack_candidates. Clusters
-    are maximal BVH treelets (tight node bboxes, contiguous primitive
-    ranges), one column-block of `cluster` slots each; unused slots are
-    all-zero verts (guaranteed miss, ids -1).
+    Clusters are maximal BVH treelets (tight node bboxes, contiguous
+    primitive ranges), one column-block of `cluster` slots each; unused
+    slots are all-zero verts (guaranteed miss, ids -1).
+
+    Surface clusters (triangles/quads) bake WORLD-SPACE vertices with
+    precomputed Moller-Trumbore edges — the per-test ray transform
+    (36 VPU flops) and edge subtractions (6) vanish from the sweep,
+    which is VPU-bound (BASELINE.md round-2 notes). Instancing still
+    works because every instance owns its own column blocks. Layout:
+      rows 0-2  p0.xyz (world)      rows 9-11  p2.xyz (world)
+      rows 3-5  e1 = p1-p0          rows 12-14 e1b = p3-p2
+      rows 6-8  e2 = p3-p0          rows 15-17 e2b = p1-p2
+      rows 26-28 instance id, element id, kind (int32 bit patterns)
+    Line/point clusters keep the instance-local layout of
+    pallas_intersect.pack_candidates (rows 0-11 verts, 12-23 inverse
+    frame, 24-25 radii) — radii are defined in instance space and the
+    reference intersects them through the transformed ray
+    (yocto_bvh.cpp:602).
     """
     shape_cache = {}
     col_blocks = []
-    cb_lo, cb_hi, c_quad = [], [], []
+    cb_lo, cb_hi, c_kind = [], [], []
     for iidx, inst in enumerate(scene.instances):
         got = _shape_order_and_kind(scene.shapes[inst.shape])
         if got is None:
@@ -157,18 +181,31 @@ def build_cluster_tables(scene: SceneData, cluster: int = CLUSTER,
         order, treelets = shape_cache[inst.shape]
         n = len(order)
         frame = np.asarray(inst.frame, np.float32)
-        inv_rot = np.linalg.inv(frame[:3].astype(np.float64)).astype(
-            np.float32)
-        inv_o = -(frame[3] @ inv_rot)
+        surface = kind in (2, 3)
 
         v = verts[order]
         block = np.zeros((32, n), np.float32)
-        for k in range(4):
-            block[3 * k:3 * k + 3] = pos[v[:, k]].T
-        block[12:21] = np.repeat(inv_rot.reshape(9, 1), n, axis=1)
-        block[21:24] = np.repeat(inv_o.reshape(3, 1), n, axis=1)
-        block[24] = rad[v[:, 0]]
-        block[25] = rad[v[:, 1]]
+        if surface:
+            pos_w = pos @ frame[:3] + frame[3]
+            p = [pos_w[v[:, k]].T for k in range(4)]  # 4 x [3, n]
+            block[0:3] = p[0]
+            block[3:6] = p[1] - p[0]
+            block[6:9] = p[3] - p[0]
+            block[9:12] = p[2]
+            block[12:15] = p[3] - p[2]
+            block[15:18] = p[1] - p[2]
+            variant = VAR_QUAD if kind == KIND_QUADS else VAR_TRI
+        else:
+            inv_rot = np.linalg.inv(frame[:3].astype(np.float64)).astype(
+                np.float32)
+            inv_o = -(frame[3] @ inv_rot)
+            for k in range(4):
+                block[3 * k:3 * k + 3] = pos[v[:, k]].T
+            block[12:21] = np.repeat(inv_rot.reshape(9, 1), n, axis=1)
+            block[21:24] = np.repeat(inv_o.reshape(3, 1), n, axis=1)
+            block[24] = rad[v[:, 0]]
+            block[25] = rad[v[:, 1]]
+            variant = VAR_LINE if kind == KIND_LINES else VAR_POINT
         block[26] = np.full(n, iidx, np.int32).view(np.float32)
         block[27] = order.astype(np.int32).view(np.float32)
         block[28] = np.full(n, kind, np.int32).view(np.float32)
@@ -176,7 +213,7 @@ def build_cluster_tables(scene: SceneData, cluster: int = CLUSTER,
         corners8 = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
                     (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
         for start, count, tlo, thi in treelets:
-            c_quad.append(1 if kind == KIND_QUADS else 0)
+            c_kind.append(variant)
             padded = np.zeros((32, cluster), np.float32)
             padded[:, :count] = block[:, start:start + count]
             padded[26, count:] = np.full(
@@ -196,17 +233,46 @@ def build_cluster_tables(scene: SceneData, cluster: int = CLUSTER,
     prims = np.concatenate(col_blocks, axis=1)
     return (prims, np.asarray(cb_lo, np.float32),
             np.asarray(cb_hi, np.float32),
-            np.asarray(c_quad, np.int32))
+            np.asarray(c_kind, np.int32))
 
 
-def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, kinds,
-                 with_quads=True):
+def _tri_isect_pre(rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                   ax, ay, az, e1x, e1y, e1z, e2x, e2y, e2z):
+    """Moller-Trumbore with PRECOMPUTED edges (yocto_geometry.h:794-826
+    semantics; the edge subtractions are baked into the cluster tables at
+    build time, so the sweep's per-test cost drops from ~94 to ~59 VPU
+    ops)."""
+    pvx = rdy * e2z - rdz * e2y
+    pvy = rdz * e2x - rdx * e2z
+    pvz = rdx * e2y - rdy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvx, tvy, tvz = rox - ax, roy - ay, roz - az
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = ((det != 0.0) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t >= tmin) & (t <= tmax))
+    return hit, u, v, t
+
+
+def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, variant):
     """Candidate sweep for one (ray tile, cluster) block; improves the
     best-hit state in outf/outi in place (cross-slot VMEM accumulation;
-    strict-< keeps the earlier slot on exact ties). Same primitive tests
-    and first-closest semantics as pallas_intersect._subtile.
-    `with_quads=False` skips the second split-triangle test (valid for
-    clusters whose elements are all triangles/lines/points)."""
+    strict-< keeps the earlier slot on exact ties). First-closest
+    semantics identical to pallas_intersect._subtile.
+
+    `variant` statically selects the cluster layout + primitive test:
+      VAR_TRI / VAR_QUAD  world-space vertices with precomputed
+                          Moller-Trumbore edges — no per-test ray
+                          transform, no edge subtractions;
+      VAR_LINE / VAR_POINT  instance-local candidates behind an inverse
+                          frame (radius semantics match the reference's
+                          transformed-ray intersection, yocto_bvh.cpp:602).
+    """
     rox = rays_ref[:, 0:1]
     roy = rays_ref[:, 1:2]
     roz = rays_ref[:, 2:3]
@@ -226,38 +292,22 @@ def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, kinds,
     best_inst = outi_ref[:, 0:1]
     best_elem = outi_ref[:, 1:2]
 
-    from .pallas_intersect import LANE, _tri_isect
-
-    has_surface = (2 in kinds) or (3 in kinds)
-    has_line = KIND_LINES in kinds
-    has_pt = KIND_POINTS in kinds
+    from .pallas_intersect import LANE
 
     for c0 in range(0, cpad, LANE):
         sub = prims_ref[:, c0:c0 + LANE]
         r = lambda k: sub[k:k + 1, :]
-        lox = rox * r(12) + roy * r(15) + roz * r(18) + r(21)
-        loy = rox * r(13) + roy * r(16) + roz * r(19) + r(22)
-        loz = rox * r(14) + roy * r(17) + roz * r(20) + r(23)
-        ldx = rdx * r(12) + rdy * r(15) + rdz * r(18)
-        ldy = rdx * r(13) + rdy * r(16) + rdz * r(19)
-        ldz = rdx * r(14) + rdy * r(17) + rdz * r(20)
 
-        p0x, p0y, p0z = r(0), r(1), r(2)
-        p1x, p1y, p1z = r(3), r(4), r(5)
-        p2x, p2y, p2z = r(6), r(7), r(8)
-        p3x, p3y, p3z = r(9), r(10), r(11)
-
-        hit = u = v = t = None
-        if has_surface:
-            h1, u1, v1, t1 = _tri_isect(lox, loy, loz, ldx, ldy, ldz,
-                                        tmin, tmax,
-                                        p0x, p0y, p0z, p1x, p1y, p1z,
-                                        p3x, p3y, p3z)
-            if with_quads:
-                h2, u2, v2, t2 = _tri_isect(lox, loy, loz, ldx, ldy, ldz,
-                                            tmin, tmax,
-                                            p2x, p2y, p2z, p3x, p3y, p3z,
-                                            p1x, p1y, p1z)
+        if variant in (VAR_TRI, VAR_QUAD):
+            # world-space candidates: test directly against the world ray
+            h1, u1, v1, t1 = _tri_isect_pre(
+                rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8))
+            if variant == VAR_QUAD:
+                h2, u2, v2, t2 = _tri_isect_pre(
+                    rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+                    r(9), r(10), r(11), r(12), r(13), r(14),
+                    r(15), r(16), r(17))
                 t1m = jnp.where(h1, t1, M.flt_max)
                 t2m = jnp.where(h2, t2, M.flt_max)
                 take1 = t1m < t2m
@@ -268,67 +318,63 @@ def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, kinds,
                               jnp.where(h2, 1.0 - v2, 0.0))
                 t = jnp.minimum(t1m, t2m)
             else:
-                # triangles are packed as degenerate quads (p2 == p3): the
-                # second split-triangle test is dead weight, skipped for
-                # all-triangle clusters
                 hit = h1
                 u = jnp.where(h1, u1, 0.0)
                 v = jnp.where(h1, v1, 0.0)
                 t = jnp.where(h1, t1, M.flt_max)
-        if has_line:
-            r0 = r(24)
-            r1 = r(25)
-            vx, vy, vz = p1x - p0x, p1y - p0y, p1z - p0z
-            wx, wy, wz = lox - p0x, loy - p0y, loz - p0z
-            a = ldx * ldx + ldy * ldy + ldz * ldz
-            b = ldx * vx + ldy * vy + ldz * vz
-            cc = vx * vx + vy * vy + vz * vz
-            d = ldx * wx + ldy * wy + ldz * wz
-            e = vx * wx + vy * wy + vz * wz
-            det = a * cc - b * b
-            sdet = jnp.where(det == 0.0, 1.0, det)
-            tl = (b * e - cc * d) / sdet
-            sl = (a * e - b * d) / sdet
-            ok = (det != 0.0) & (tl >= tmin) & (tl <= tmax)
-            sl = jnp.clip(sl, 0.0, 1.0)
-            dpx = (lox + ldx * tl) - (p0x + vx * sl)
-            dpy = (loy + ldy * tl) - (p0y + vy * sl)
-            dpz = (loz + ldz * tl) - (p0z + vz * sl)
-            d2 = dpx * dpx + dpy * dpy + dpz * dpz
-            rr = r0 * (1.0 - sl) + r1 * sl
-            lhit = ok & (d2 <= rr * rr)
-            lu = jnp.where(lhit, sl, 0.0)
-            lv = jnp.where(
-                lhit, jnp.sqrt(d2) / jnp.where(rr == 0.0, 1.0, rr), 0.0)
-            is_line = _i32(r(28)) == KIND_LINES
-            if hit is None:
-                hit, u, v = lhit, lu, lv
-                t = jnp.where(lhit, tl, M.flt_max)
-            else:
-                hit = (is_line & lhit) | (~is_line & hit)
-                u = jnp.where(is_line, lu, u)
-                v = jnp.where(is_line, lv, v)
-                t = jnp.where(is_line, jnp.where(lhit, tl, M.flt_max), t)
-        if has_pt:
-            r0 = r(24)
-            wx, wy, wz = p0x - lox, p0y - loy, p0z - loz
-            dd = ldx * ldx + ldy * ldy + ldz * ldz
-            tp = (wx * ldx + wy * ldy + wz * ldz) / dd
-            in_range = (tp >= tmin) & (tp <= tmax)
-            prx = p0x - (lox + ldx * tp)
-            pry = p0y - (loy + ldy * tp)
-            prz = p0z - (loz + ldz * tp)
-            phit = in_range & (prx * prx + pry * pry + prz * prz
-                               <= r0 * r0)
-            is_pt = _i32(r(28)) == KIND_POINTS
-            if hit is None:
-                hit, u, v = phit, jnp.zeros_like(tp), jnp.zeros_like(tp)
-                t = jnp.where(phit, tp, M.flt_max)
-            else:
-                hit = (is_pt & phit) | (~is_pt & hit)
-                u = jnp.where(is_pt, 0.0, u)
-                v = jnp.where(is_pt, 0.0, v)
-                t = jnp.where(is_pt, jnp.where(phit, tp, M.flt_max), t)
+        else:
+            # instance-local candidates: transform the ray per slot
+            lox = rox * r(12) + roy * r(15) + roz * r(18) + r(21)
+            loy = rox * r(13) + roy * r(16) + roz * r(19) + r(22)
+            loz = rox * r(14) + roy * r(17) + roz * r(20) + r(23)
+            ldx = rdx * r(12) + rdy * r(15) + rdz * r(18)
+            ldy = rdx * r(13) + rdy * r(16) + rdz * r(19)
+            ldz = rdx * r(14) + rdy * r(17) + rdz * r(20)
+            p0x, p0y, p0z = r(0), r(1), r(2)
+            p1x, p1y, p1z = r(3), r(4), r(5)
+            # zero-padded slots would otherwise intersect as a degenerate
+            # radius-0 primitive at the local origin
+            valid = _i32(r(26)) >= 0
+            if variant == VAR_LINE:
+                r0 = r(24)
+                r1 = r(25)
+                vx, vy, vz = p1x - p0x, p1y - p0y, p1z - p0z
+                wx, wy, wz = lox - p0x, loy - p0y, loz - p0z
+                a = ldx * ldx + ldy * ldy + ldz * ldz
+                b = ldx * vx + ldy * vy + ldz * vz
+                cc = vx * vx + vy * vy + vz * vz
+                d = ldx * wx + ldy * wy + ldz * wz
+                e = vx * wx + vy * wy + vz * wz
+                det = a * cc - b * b
+                sdet = jnp.where(det == 0.0, 1.0, det)
+                tl = (b * e - cc * d) / sdet
+                sl = (a * e - b * d) / sdet
+                ok = valid & (det != 0.0) & (tl >= tmin) & (tl <= tmax)
+                sl = jnp.clip(sl, 0.0, 1.0)
+                dpx = (lox + ldx * tl) - (p0x + vx * sl)
+                dpy = (loy + ldy * tl) - (p0y + vy * sl)
+                dpz = (loz + ldz * tl) - (p0z + vz * sl)
+                d2 = dpx * dpx + dpy * dpy + dpz * dpz
+                rr = r0 * (1.0 - sl) + r1 * sl
+                hit = ok & (d2 <= rr * rr)
+                u = jnp.where(hit, sl, 0.0)
+                v = jnp.where(
+                    hit, jnp.sqrt(d2) / jnp.where(rr == 0.0, 1.0, rr), 0.0)
+                t = jnp.where(hit, tl, M.flt_max)
+            else:  # VAR_POINT
+                r0 = r(24)
+                wx, wy, wz = p0x - lox, p0y - loy, p0z - loz
+                dd = ldx * ldx + ldy * ldy + ldz * ldz
+                tp = (wx * ldx + wy * ldy + wz * ldz) / dd
+                in_range = valid & (tp >= tmin) & (tp <= tmax)
+                prx = p0x - (lox + ldx * tp)
+                pry = p0y - (loy + ldy * tp)
+                prz = p0z - (loz + ldz * tp)
+                hit = in_range & (prx * prx + pry * pry + prz * prz
+                                  <= r0 * r0)
+                u = jnp.zeros_like(tp)
+                v = jnp.zeros_like(tp)
+                t = jnp.where(hit, tp, M.flt_max)
 
         dist = jnp.where(hit, t, M.flt_max)
         dmin = jnp.min(dist, axis=1, keepdims=True)
@@ -360,8 +406,9 @@ def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, kinds,
     outi_ref[:, 2:8] = jnp.zeros((tr, 6), jnp.int32)
 
 
-def _sweep_kernel(rays_ref, clist_ref, centry_ref, cquad_ref, prims_ref,
-                  outf_ref, outi_ref, buf_ref, sem_ref, *, cluster, kinds):
+def _sweep_kernel(rays_ref, clist_ref, centry_ref, ckind_ref, prims_ref,
+                  outf_ref, outi_ref, buf_ref, sem_ref, *, cluster,
+                  variants):
     """One program per ray tile: dynamic while-loop over the tile's
     entry-sorted cluster slots with ordered-traversal early-out.
 
@@ -418,24 +465,16 @@ def _sweep_kernel(rays_ref, clist_ref, centry_ref, cquad_ref, prims_ref,
             fetch(slot + 1, clist_ref[0, 0, nidx]).start()
 
         fetch(slot, clist_ref[0, 0, slot]).wait()
-        if (2 in kinds) and (3 in kinds):
-            is_quad = cquad_ref[0, 0, slot] != 0
-
-            @pl.when(is_quad)
-            def _():
-                _subtile_acc(rays_ref, buf_ref.at[slot % 2], outf_ref,
-                             outi_ref, cpad=cluster, kinds=kinds,
-                             with_quads=True)
-
-            @pl.when(~is_quad)
-            def _():
-                _subtile_acc(rays_ref, buf_ref.at[slot % 2], outf_ref,
-                             outi_ref, cpad=cluster, kinds=kinds,
-                             with_quads=False)
-        else:
+        if len(variants) == 1:
             _subtile_acc(rays_ref, buf_ref.at[slot % 2], outf_ref,
-                         outi_ref, cpad=cluster, kinds=kinds,
-                         with_quads=3 in kinds)
+                         outi_ref, cpad=cluster, variant=variants[0])
+        else:
+            ck = ckind_ref[0, 0, slot]
+            for vr in variants:
+                @pl.when(ck == vr)
+                def _(vr=vr):
+                    _subtile_acc(rays_ref, buf_ref.at[slot % 2], outf_ref,
+                                 outi_ref, cpad=cluster, variant=vr)
         cont = nxt_pre & can_improve(slot + 1)
 
         # a prefetch that post-sweep early-out discards must still be
@@ -452,17 +491,19 @@ def _sweep_kernel(rays_ref, clist_ref, centry_ref, cquad_ref, prims_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cluster", "kinds", "interpret", "ray_tile"))
-def _run_sweep(rays, prims, clist, centry, cquad, cluster, kinds,
+    jax.jit, static_argnames=("cluster", "variants", "interpret",
+                              "ray_tile"))
+def _run_sweep(rays, prims, clist, centry, ckind, cluster, variants,
                interpret, ray_tile=RAY_TILE):
     rpad = rays.shape[0]
     ntiles = rpad // ray_tile
     max_slots = clist.shape[1]
     clist = clist[:, None, :]
     centry = centry[:, None, :]
-    cquad = cquad[:, None, :]
+    ckind = ckind[:, None, :]
     return pl.pallas_call(
-        functools.partial(_sweep_kernel, cluster=cluster, kinds=kinds),
+        functools.partial(_sweep_kernel, cluster=cluster,
+                          variants=variants),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i: (i, 0),
@@ -490,7 +531,7 @@ def _run_sweep(rays, prims, clist, centry, cquad, cluster, kinds,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rays, clist, centry, cquad, prims)
+    )(rays, clist, centry, ckind, prims)
 
 
 def _cluster_mask(ro, rinv, tmin, tmax, lo, hi):
@@ -557,11 +598,15 @@ class ClusterIntersector:
         built = build_cluster_tables(scene_host, cluster, highquality)
         if built is None:
             raise ValueError("scene has no candidates")
-        prims, cb_lo, cb_hi, c_quad = built
+        prims, cb_lo, cb_hi, c_kind = built
         self.prims = jnp.asarray(prims)
         self.cb_lo = jnp.asarray(cb_lo)
         self.cb_hi = jnp.asarray(cb_hi)
-        self.c_quad = jnp.asarray(c_quad)
+        self.c_kind = jnp.asarray(c_kind)
+        # static sweep variants present in THIS scene's tables; the kernel
+        # emits one pl.when branch per variant (kinds param kept for API
+        # compatibility — the tables themselves are authoritative)
+        self.variants = tuple(sorted(int(v) for v in set(c_kind.tolist())))
         self.n_clusters = cb_lo.shape[0]
         self.cluster = cluster
         self.max_slots = min(max_slots, self.n_clusters)
@@ -628,11 +673,11 @@ class ClusterIntersector:
             [ro_p, rd_p, tmin_p[:, None], tmax_p[:, None],
              maxent[:, None],
              jnp.zeros((rpad, 7), jnp.float32)], axis=1)
-        cquad = jnp.where(clist >= 0,
-                          self.c_quad[jnp.maximum(clist, 0)], 0)
-        outf, outi = _run_sweep(rays, self.prims, clist, centry, cquad,
-                                self.cluster, self.kinds, self.interpret,
-                                ray_tile=self.ray_tile)
+        ckind = jnp.where(clist >= 0,
+                          self.c_kind[jnp.maximum(clist, 0)], 0)
+        outf, outi = _run_sweep(rays, self.prims, clist, centry, ckind,
+                                self.cluster, self.variants,
+                                self.interpret, ray_tile=self.ray_tile)
         outf, outi = outf[:R], outi[:R]
         if self.sort_rays:
             inv = jnp.zeros(R, jnp.int32).at[order].set(
