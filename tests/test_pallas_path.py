@@ -4,8 +4,11 @@ The kernel consumes the same per-pixel PCG32 draws in the same order, so
 at equal seeds the images agree to float precision (the only deviation is
 the o + t*d shading point vs barycentric interpolation, a few ulps)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from yocto_tpu.models.examples import make_cornellbox
 from yocto_tpu.trace.compile import scene_features
@@ -54,14 +57,95 @@ def test_megakernel_qualification():
                          sampler=SamplerType.path)
     feats = scene_features(scene)
     assert supports_pallas_path(scene, feats, params)
-    # a delta material (refractive, roughness 0) disqualifies — the
-    # kernel covers the rough lobe families only
-    scene.materials.append(MaterialData(type=MaterialType.refractive,
-                                        roughness=0.0))
-    scene.shapes.append(make_sphere(steps=4, scale=0.2))
+    # white delta glass (zero density) qualifies since round 2; TINTED
+    # glass (absorbing interior -> real transmittance sampling) does not
+    scene.materials.append(MaterialData(
+        type=MaterialType.refractive, roughness=0.0,
+        color=np.ones(3, np.float32)))
+    sph = make_sphere(steps=4, scale=0.2)
+    sph.normals = np.zeros((0, 3), np.float32)  # faceted (no interp carry)
+    scene.shapes.append(sph)
     scene.instances.append(InstanceData(shape=len(scene.shapes) - 1,
                                         material=len(scene.materials) - 1))
+    assert supports_pallas_path(scene, scene_features(scene), params)
+    scene.materials[-1] = MaterialData(
+        type=MaterialType.refractive, roughness=0.0,
+        color=np.array([1.0, 0.7, 0.7], np.float32))
     assert not supports_pallas_path(scene, scene_features(scene), params)
+    # rough refractive falls back to the general samplers
+    scene.materials[-1] = MaterialData(type=MaterialType.refractive,
+                                       roughness=0.2)
+    assert not supports_pallas_path(scene, scene_features(scene), params)
+
+
+def _delta_scene():
+    """Cornell box + delta glass sphere, mirror tall box, transparent
+    short box — every delta lobe family in one <=512-candidate scene."""
+    from yocto_tpu.models.procedural import make_sphere
+    from yocto_tpu.models.scene import InstanceData, MaterialData, \
+        MaterialType
+
+    scene = make_cornellbox()
+    m_tall = scene.instances[scene.instance_names.index("tallbox")]
+    scene.materials[m_tall.material] = MaterialData(
+        type=MaterialType.reflective,
+        color=np.array([0.8, 0.8, 0.8], np.float32), roughness=0.0)
+    m_short = scene.instances[scene.instance_names.index("shortbox")]
+    scene.materials[m_short.material] = MaterialData(
+        type=MaterialType.transparent,
+        color=np.array([0.7, 0.9, 0.7], np.float32), roughness=0.0)
+    scene.materials.append(MaterialData(
+        type=MaterialType.refractive, roughness=0.0,
+        color=np.ones(3, np.float32)))
+    # small candidate count: interpret-mode unrolls candidates x bounces,
+    # and XLA CPU compiles of the big graph take minutes on this host
+    sph = make_sphere(steps=4, scale=0.25)
+    sph.normals = np.zeros((0, 3), np.float32)  # faceted (no interp carry)
+    scene.shapes.append(sph)
+    frame = np.eye(4, 3, dtype=np.float32)
+    frame[3] = (0.0, 0.8, 0.5)
+    scene.instances.append(InstanceData(
+        frame=frame, shape=len(scene.shapes) - 1,
+        material=len(scene.materials) - 1))
+    return scene
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="interpret-mode compile of the delta megakernel takes >1h on "
+           "this 1-core host; set RUN_SLOW_TESTS=1 (TPU parity is driven "
+           "by scripts/ + bench jobs, where remote compiles are fast)")
+def test_megakernel_delta_matches_lockstep():
+    scene = _delta_scene()
+    params = TraceParams(resolution=24, samples=3, bounces=5,
+                         sampler=SamplerType.path)
+    feats = scene_features(scene)
+    assert supports_pallas_path(scene, feats, params)
+    assert feats.has_delta and feats.has_volumes
+    r = Renderer(scene, params)
+    ref = get_image(r.render())[..., :3]
+
+    run = make_pallas_path_sampler(scene, params, interpret=True)
+    state = make_trace_state(scene, params)
+    img = np.zeros((24, 24, 3), np.float32)
+    rngs = state.rng
+    for s in range(3):
+        ro, rd, rngs = sample_camera_rays(r.flat, 0, 24, 24, rngs, False)
+        radiance, hit, alb, nrm, rngs = run(ro, rd, rngs)
+        rad = np.nan_to_num(np.asarray(radiance), nan=0.0)
+        mx = rad.max(-1)
+        scale = np.where(mx > params.clamp,
+                         params.clamp / np.maximum(mx, 1e-20), 1.0)
+        rad = rad * scale[:, None]
+        img += (rad.reshape(24, 24, 3) - img) / (s + 1)
+    d = np.abs(img - ref)
+    # delta lobes amplify ulp noise: a fresnel/TIR branch that flips under
+    # float-order differences sends the path somewhere else entirely, so
+    # at 3 spp a handful of pixels legitimately diverge. Measured on TPU:
+    # megakernel-vs-lockstep (same device) mean 4.3e-4 / 0.9% > 0.05,
+    # SMALLER than lockstep-vs-itself across devices (8.3e-4 / 1.2%).
+    assert d.mean() < 1.5e-3, d.mean()
+    assert (d.max(-1) > 0.05).mean() < 0.025
 
 
 def _pbr_boxes_scene():

@@ -510,6 +510,11 @@ def make_pallas_small_intersector(scene_host: SceneData, interpret=None):
                 jax.ShapeDtypeStruct((srows, LANE), jnp.int32),
             ),
             interpret=interpret,
+            # the unrolled candidate chain keeps many [64,128] planes
+            # live; the default 16M scoped-vmem cap trips near ~130
+            # candidates (v5e has 128M physical VMEM)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(rox, roy, roz, rdx, rdy, rdz, tmin, tmax)
         return outs
 

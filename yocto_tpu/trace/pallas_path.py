@@ -1,8 +1,9 @@
-"""Fused Pallas path-tracing megakernel for small rough-lobe scenes.
+"""Fused Pallas path-tracing megakernel for small scenes.
 
-For Cornell-class scenes (<=512 elements, matte/glossy/reflective
-materials with no delta lobes, no textures/vertex attributes, area
-lights, no environment) the entire 8-bounce `trace_path` estimator runs
+For Cornell-class scenes (<=512 elements; matte/glossy/reflective rough
+lobes plus delta mirror/transparent/refractive lobes with zero-density
+interiors; no textures/vertex attributes, area lights, no environment)
+the entire 8-bounce `trace_path` estimator runs
 in ONE kernel: rays, PCG32 state, weights, and radiance live in vector
 registers; candidates, materials, and light geometry are compile-time
 immediates. The only HBM traffic is camera rays + RNG in, radiance +
@@ -49,19 +50,38 @@ def supports_pallas_path(scene: SceneData, features: SceneFeatures,
                          params) -> bool:
     """Host-side qualification for the fused kernel."""
     from .params import SamplerType
+    from .sceneval import MIN_ROUGHNESS
     if params.sampler not in (SamplerType.path, SamplerType.pathtest):
         return False
     if params.nocaustics or params.tentfilter:
         return False
     if not set(features.mat_types) <= {int(MaterialType.matte),
                                        int(MaterialType.glossy),
-                                       int(MaterialType.reflective)}:
+                                       int(MaterialType.reflective),
+                                       int(MaterialType.transparent),
+                                       int(MaterialType.refractive)}:
         return False
-    if (features.has_volumes or features.has_opacity or features.has_delta
+    if (features.has_opacity
             or features.has_emission_tex or features.has_color_tex
             or features.has_roughness_tex or features.has_scattering_tex
             or features.has_normal_tex or features.has_shape_colors):
         return False
+    for mat in scene.materials:
+        ty = int(mat.type)
+        r2 = float(np.float32(mat.roughness) ** 2)
+        if ty in (int(MaterialType.transparent),
+                  int(MaterialType.refractive)) and r2 >= MIN_ROUGHNESS:
+            return False  # rough dielectrics fall back to the samplers
+        if ty == int(MaterialType.refractive):
+            # the kernel's volume machinery is the RNG-parity reduction
+            # for ZERO-density dielectrics (density = -log(clamp(color,
+            # 1e-4, 1))/trdepth == 0 iff color >= 1, sceneval.py:376-379)
+            if np.any(np.asarray(mat.color, np.float32) < 1.0):
+                return False
+            if np.any(np.asarray(mat.scattering, np.float32) != 0.0):
+                return False
+            if abs(float(mat.ior) - 1.0) < 1e-3:
+                return False  # passthrough-ior branch not in the kernel
     if any(k not in (2, 3) for k in features.kinds):
         return False
     if scene.environments:
@@ -286,8 +306,22 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
     has_matte = any(c["ty"] == float(MaterialType.matte) for c in cands)
     has_glossy = any(c["ty"] == float(MaterialType.glossy) for c in cands)
     has_refl = any(c["ty"] == float(MaterialType.reflective)
-                   for c in cands)
+                   and c["rough"] > 0.0 for c in cands)
     has_spec = has_glossy or has_refl
+    # delta lobes (rough==0 after eval_material clamping): mirror the
+    # lockstep sampler's delta branch (pathtrace.py:269-287)
+    has_refl_d = any(c["ty"] == float(MaterialType.reflective)
+                     and c["rough"] == 0.0 for c in cands)
+    has_transp = any(c["ty"] == float(MaterialType.transparent)
+                     for c in cands)
+    has_refr = any(c["ty"] == float(MaterialType.refractive)
+                   for c in cands)
+    has_delta = has_refl_d or has_transp or has_refr
+    # refractive instances are volumetric (sceneval.py:407-412); the
+    # qualified set is zero-density, so the volume machinery reduces to
+    # the two transmittance draws + a depth-parity toggle
+    has_vol = has_refr
+    need_mat = has_spec or has_delta
 
     def closest_hit(rox, roy, roz, rdx, rdy, rdz):
         """Baked-candidate sweep -> per-lane best hit + shading data."""
@@ -296,7 +330,7 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
         bhit = jnp.zeros(rox.shape, jnp.bool_)
         attrs = {k: [jnp.zeros(rox.shape, jnp.float32) for _ in range(3)]
                  for k in ("n", "col", "em")}
-        if has_spec:
+        if need_mat:
             attrs["ty"] = [jnp.full(rox.shape, -1.0, jnp.float32)]
             attrs["rough"] = [jnp.zeros(rox.shape, jnp.float32)]
             attrs["ior"] = [jnp.ones(rox.shape, jnp.float32)]
@@ -326,7 +360,7 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             bt = jnp.where(better, t, bt)
             sel = [("n", c["normal"]), ("col", c["color"]),
                    ("em", c["emission"])]
-            if has_spec:
+            if need_mat:
                 sel += [("ty", [c["ty"]]), ("rough", [c["rough"]]),
                         ("ior", [c["ior"]])]
             for key, src in sel:
@@ -418,6 +452,10 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
         lb = jnp.zeros(shape, jnp.float32)
         alive = jnp.ones(shape, jnp.bool_)
         first_hit = jnp.zeros(shape, jnp.bool_)
+        if has_vol:
+            # depth of the per-lane volume stack; push only at depth 0 and
+            # pop otherwise (yocto_trace.cpp:544-553), so it toggles 0<->1
+            in_vol = jnp.zeros(shape, jnp.bool_)
         aov = {k: jnp.zeros(shape, jnp.float32)
                for k in ("ar", "ag", "ab", "nx", "ny", "nz")}
 
@@ -426,14 +464,31 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             shade = alive & hit
             alive = shade
 
+            if has_vol:
+                # transmittance draws (pathtrace.py:164-181): qualified
+                # scenes are zero-density, so tdist == distance and
+                # trans == pdf == 1 — only the two draws (distance rand
+                # then channel rand) advance the lane streams
+                in_stack = shade & in_vol
+                _rtr, rng = R.rand1f_if(rng, in_stack)
+                _rtr, rng = R.rand1f_if(rng, in_stack)
+
             px = rox + rdx * t
             py = roy + rdy * t
             pz = roz + rdz * t
             ox, oy, oz = -rdx, -rdy, -rdz
             nx, ny, nz = attrs["n"]
-            # facing flip (eval_shading_normal, matte is never refractive)
+            if need_mat:
+                ty = attrs["ty"][0]
+                rough = attrs["rough"][0]
+                ior = attrs["ior"][0]
+            # facing flip (eval_shading_normal); refractive keeps the
+            # geometric orientation (sceneval.py:288-293)
             ndo = nx * ox + ny * oy + nz * oz
             flipn = ndo < 0.0
+            if has_refr:
+                is_rf = ty == float(MaterialType.refractive)
+                flipn = flipn & ~is_rf
             nx = jnp.where(flipn, -nx, nx)
             ny = jnp.where(flipn, -ny, ny)
             nz = jnp.where(flipn, -nz, nz)
@@ -450,8 +505,22 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             lg = jnp.where(emit, lg + wg * attrs["em"][1], lg)
             lb = jnp.where(emit, lb + wb * attrs["em"][2], lb)
 
-            # next direction: 50/50 BSDF/light one-sample MIS
-            nd = shade  # no delta lobes qualify (supports_pallas_path)
+            # next direction: 50/50 BSDF/light one-sample MIS on rough
+            # lanes; delta lanes branch below (pathtrace.py:234-287)
+            if has_delta:
+                is_delta = jnp.zeros(shape, jnp.bool_)
+                if has_refl_d:
+                    is_delta = is_delta | (
+                        (ty == float(MaterialType.reflective))
+                        & (rough == 0.0))
+                if has_transp:
+                    is_delta = is_delta | (
+                        ty == float(MaterialType.transparent))
+                if has_refr:
+                    is_delta = is_delta | is_rf
+                nd = shade & ~is_delta
+            else:
+                nd = shade
             r_choice, rng = R.rand1f_if(rng, nd)
             use_bsdf = r_choice < 0.5
             rb1, rng = R.rand1f_if(rng, nd & use_bsdf)
@@ -459,8 +528,6 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             rnl, rng = R.rand1f_if(rng, nd & use_bsdf)
             cr, cg, cb = attrs["col"]
             if has_spec:
-                ty = attrs["ty"][0]
-                rough = attrs["rough"][0]
                 is_g = ty == float(MaterialType.glossy)
                 is_r = ty == float(MaterialType.reflective)
                 ndo_f = nx * ox + ny * oy + nz * oz
@@ -472,7 +539,6 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
                 sz = 2.0 * doh * hz - oz
                 spec_ok = ndo_f * (nx * sx + ny * sy + nz * sz) > 0.0
                 if has_glossy:
-                    ior = attrs["ior"][0]
                     F1 = _fresnel_dielectric_p(ior, ndo_f)
                     take_spec = is_r | (is_g & (rnl < F1))
                 else:
@@ -591,6 +657,127 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
                 wg = jnp.where(ok, wg * f_g / safe, wg)
                 wb = jnp.where(ok, wb * f_b / safe, wb)
 
+            if has_delta:
+                # delta branch (pathtrace.py:269-287): one lobe rand,
+                # BSDF-only continuation, weight *= eval_delta/pdf_delta
+                dl = shade & is_delta
+                r_dl, rng = R.rand1f_if(rng, dl)
+                ndo_s = nx * ox + ny * oy + nz * oz
+                # mirror about the shading normal (non-refractive lanes
+                # have n facing outgoing, so up == n)
+                mrx = 2.0 * ndo_s * nx - ox
+                mry = 2.0 * ndo_s * ny - oy
+                mrz = 2.0 * ndo_s * nz - oz
+                dxv = jnp.zeros(shape, jnp.float32)
+                dyv = jnp.zeros(shape, jnp.float32)
+                dzv = jnp.zeros(shape, jnp.float32)
+                fd_r = jnp.zeros(shape, jnp.float32)
+                fd_g = jnp.zeros(shape, jnp.float32)
+                fd_b = jnp.zeros(shape, jnp.float32)
+                pdf_d = jnp.zeros(shape, jnp.float32)
+                if has_refl_d:
+                    # eval/sample_reflective_delta (yocto_shading.h:
+                    # conductor mirror; fresnel on dot(up, outgoing))
+                    is_rd = ((ty == float(MaterialType.reflective))
+                             & (rough == 0.0))
+
+                    def _ceta(c):
+                        rt = jnp.sqrt(jnp.clip(c, 0.0, 0.99))
+                        return (1.0 + rt) / (1.0 - rt)
+                    mval = ndo_s * (nx * mrx + ny * mry + nz * mrz) > 0.0
+                    fm_r = _fresnel_conductor_p(_ceta(cr), ndo_s)
+                    fm_g = _fresnel_conductor_p(_ceta(cg), ndo_s)
+                    fm_b = _fresnel_conductor_p(_ceta(cb), ndo_s)
+                    zf = jnp.zeros(shape, jnp.float32)
+                    dxv = jnp.where(is_rd, mrx, dxv)
+                    dyv = jnp.where(is_rd, mry, dyv)
+                    dzv = jnp.where(is_rd, mrz, dzv)
+                    fd_r = jnp.where(is_rd, jnp.where(mval, fm_r, zf), fd_r)
+                    fd_g = jnp.where(is_rd, jnp.where(mval, fm_g, zf), fd_g)
+                    fd_b = jnp.where(is_rd, jnp.where(mval, fm_b, zf), fd_b)
+                    pdf_d = jnp.where(is_rd & mval, 1.0, pdf_d)
+                if has_transp:
+                    # eval/sample_transparent_delta: fresnel-weighted
+                    # mirror vs tinted passthrough (-outgoing)
+                    is_tp = ty == float(MaterialType.transparent)
+                    Ft = _fresnel_dielectric_p(ior, ndo_s)
+                    take_r = r_dl < Ft
+                    tix = jnp.where(take_r, mrx, -ox)
+                    tiy = jnp.where(take_r, mry, -oy)
+                    tiz = jnp.where(take_r, mrz, -oz)
+                    rside = (ndo_s
+                             * (nx * tix + ny * tiy + nz * tiz)) >= 0.0
+                    fd1 = jnp.where(rside, Ft, 1.0 - Ft)
+                    dxv = jnp.where(is_tp, tix, dxv)
+                    dyv = jnp.where(is_tp, tiy, dyv)
+                    dzv = jnp.where(is_tp, tiz, dzv)
+                    fd_r = jnp.where(is_tp, jnp.where(rside, Ft,
+                                                      cr * (1.0 - Ft)),
+                                     fd_r)
+                    fd_g = jnp.where(is_tp, jnp.where(rside, Ft,
+                                                      cg * (1.0 - Ft)),
+                                     fd_g)
+                    fd_b = jnp.where(is_tp, jnp.where(rside, Ft,
+                                                      cb * (1.0 - Ft)),
+                                     fd_b)
+                    pdf_d = jnp.where(is_tp, fd1, pdf_d)
+                if has_refr:
+                    # eval/sample_refractive_delta: side-dependent eta,
+                    # fresnel-weighted mirror vs refraction about `up`
+                    entering = ndo_s >= 0.0
+                    rel = jnp.where(entering, ior, 1.0 / ior)
+                    cos_uo = jnp.abs(ndo_s)
+                    sgn = jnp.where(entering, 1.0, -1.0)
+                    upx, upy, upz = sgn * nx, sgn * ny, sgn * nz
+                    Frf = _fresnel_dielectric_p(rel, cos_uo)
+                    take_r = r_dl < Frf
+                    rrx = 2.0 * cos_uo * upx - ox
+                    rry = 2.0 * cos_uo * upy - oy
+                    rrz = 2.0 * cos_uo * upz - oz
+                    inv_eta = 1.0 / rel
+                    k = 1.0 + inv_eta * inv_eta * (cos_uo * cos_uo - 1.0)
+                    tir = k < 0.0
+                    coef = inv_eta * cos_uo - jnp.sqrt(jnp.maximum(k, 0.0))
+                    fx = -ox * inv_eta + coef * upx
+                    fy = -oy * inv_eta + coef * upy
+                    fz = -oz * inv_eta + coef * upz
+                    fx = jnp.where(tir, 0.0, fx)
+                    fy = jnp.where(tir, 0.0, fy)
+                    fz = jnp.where(tir, 0.0, fz)
+                    gix = jnp.where(take_r, rrx, fx)
+                    giy = jnp.where(take_r, rry, fy)
+                    giz = jnp.where(take_r, rrz, fz)
+                    rside = (ndo_s
+                             * (nx * gix + ny * giy + nz * giz)) >= 0.0
+                    fg = jnp.where(rside, Frf,
+                                   (1.0 - Frf) / (rel * rel))
+                    pg = jnp.where(rside, Frf, 1.0 - Frf)
+                    dxv = jnp.where(is_rf, gix, dxv)
+                    dyv = jnp.where(is_rf, giy, dyv)
+                    dzv = jnp.where(is_rf, giz, dzv)
+                    fd_r = jnp.where(is_rf, fg, fd_r)
+                    fd_g = jnp.where(is_rf, fg, fd_g)
+                    fd_b = jnp.where(is_rf, fg, fd_b)
+                    pdf_d = jnp.where(is_rf, pg, pdf_d)
+                d_zero = dl & (dxv == 0.0) & (dyv == 0.0) & (dzv == 0.0)
+                dl_ok = dl & ~d_zero
+                safe_d = jnp.where(pdf_d == 0.0, 1.0, pdf_d)
+                wr = jnp.where(dl_ok, wr * fd_r / safe_d, wr)
+                wg = jnp.where(dl_ok, wg * fd_g / safe_d, wg)
+                wb = jnp.where(dl_ok, wb * fd_b / safe_d, wb)
+                ix = jnp.where(is_delta, dxv, ix)
+                iy = jnp.where(is_delta, dyv, iy)
+                iz = jnp.where(is_delta, dzv, iz)
+                alive = alive & ~d_zero
+
+            if has_vol:
+                # volume-stack toggle on refractive crossing
+                # (pathtrace.py:290-300; push only at depth 0, pop above)
+                crossed = ((nx * ox + ny * oy + nz * oz)
+                           * (nx * ix + ny * iy + nz * iz)) < 0.0
+                vchg = shade & alive & crossed & is_rf
+                in_vol = (vchg & ~in_vol) | (~vchg & in_vol)
+
             # weight sanity
             wzero = (wr == 0.0) & (wg == 0.0) & (wb == 0.0)
             wfin = (jnp.isfinite(wr) & jnp.isfinite(wg) & jnp.isfinite(wb))
@@ -665,6 +852,11 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             out_shape=(f32, f32, f32, i32, f32, f32, f32, f32, f32, f32,
                        u32, u32),
             interpret=interpret,
+            # the fused estimator keeps many ray/weight/attr planes live
+            # across the unrolled bounce loop; give it headroom over the
+            # default 16M scoped-vmem cap (v5e: 128M physical)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(*ins)
         (orr, org, orb, hit_i, ar, ag, ab, onx, ony, onz,
          osh, osl) = outs
