@@ -474,6 +474,7 @@ def _host_candidates(scene: SceneData):
                 "r0": float(rad[verts[eidx, 0]]),
                 "r1": float(rad[verts[eidx, 1]]),
                 "inst": iidx, "elem": eidx,
+                "vi": [int(verts[eidx, k]) for k in range(4)],
             })
     return cands
 

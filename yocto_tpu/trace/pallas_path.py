@@ -2,8 +2,8 @@
 
 For Cornell-class scenes (<=512 elements; matte/glossy/reflective rough
 lobes plus delta mirror/transparent/refractive lobes with zero-density
-interiors; no textures/vertex attributes, area lights, no environment)
-the entire 8-bounce `trace_path` estimator runs
+interiors; smooth or faceted shading; no textures, area lights, no
+environment) the entire 8-bounce `trace_path` estimator runs
 in ONE kernel: rays, PCG32 state, weights, and radiance live in vector
 registers; candidates, materials, and light geometry are compile-time
 immediates. The only HBM traffic is camera rays + RNG in, radiance +
@@ -89,8 +89,6 @@ def supports_pallas_path(scene: SceneData, features: SceneFeatures,
     ncand = 0
     for inst in scene.instances:
         shape = scene.shapes[inst.shape]
-        if len(shape.normals):   # vertex normals need interp carry
-            return False
         ncand += max(len(shape.triangles), len(shape.quads))
     if ncand == 0 or ncand > 512:
         return False
@@ -131,6 +129,17 @@ def _host_scene_tables(scene: SceneData):
                  for p in c["p"]]
         c["pw"] = world
         c["normal"] = [float(x) for x in _element_normal_world(world)]
+        shape = scene.shapes[inst.shape]
+        if len(shape.normals):
+            # world-rotated UNNORMALIZED corner normals: normalize once
+            # after interpolation+selection in-kernel — a linear map
+            # commutes with normalization, so this equals the lockstep's
+            # transform_normal(frame, normalize(interp)) (sceneval.py:198)
+            nrm = np.asarray(shape.normals, np.float32)
+            c["vn"] = [[float(x) for x in nrm[c["vi"][k]] @ frame[:3]]
+                       for k in range(4)]
+        else:
+            c["vn"] = None  # faceted: kernel falls back to c["normal"]
         mat = scene.materials[inst.material]
         c["color"] = [float(x) for x in np.asarray(mat.color, np.float32)]
         c["emission"] = [float(x)
@@ -322,6 +331,9 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
     # the two transmittance draws + a depth-parity toggle
     has_vol = has_refr
     need_mat = has_spec or has_delta
+    # smooth shading: candidates with vertex normals interpolate at test
+    # time (3-plane carry); faceted scenes keep the constant-normal path
+    has_vn = any(c["vn"] is not None for c in cands)
 
     def closest_hit(rox, roy, roz, rdx, rdy, rdz):
         """Baked-candidate sweep -> per-lane best hit + shading data."""
@@ -338,12 +350,12 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
         tmax = jnp.full(rox.shape, inf, jnp.float32)
         for c in cands:
             p = c["pw"]
-            h1, _, _, t1 = _tri_isect(
+            h1, u1, v1, t1 = _tri_isect(
                 rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
                 p[0][0], p[0][1], p[0][2], p[1][0], p[1][1], p[1][2],
                 p[3][0], p[3][1], p[3][2])
             if c["kind"] == 3 and not c["degenerate"]:
-                h2, _, _, t2 = _tri_isect(
+                h2, u2, v2, t2 = _tri_isect(
                     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
                     p[2][0], p[2][1], p[2][2], p[3][0], p[3][1], p[3][2],
                     p[1][0], p[1][1], p[1][2])
@@ -351,14 +363,37 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
                 t2m = jnp.where(h2, t2, inf)
                 hit = (h1 | h2)
                 t = jnp.minimum(t1m, t2m)
+                if c["vn"] is not None:
+                    take1 = t1m < t2m
+                    uu = jnp.where(take1, u1, 1.0 - u2)
+                    vv = jnp.where(take1, v1, 1.0 - v2)
             else:
                 hit = h1
                 t = jnp.where(h1, t1, inf)
+                uu, vv = u1, v1
+            if c["vn"] is not None:
+                # split-quad interpolation of the world-rotated corner
+                # normals (sceneval._interp); triangles pack n2 == n3 and
+                # their uv satisfies u+v <= 1, so the lower branch is
+                # exactly the triangle interp
+                n0, n1c, n2c, n3c = c["vn"]
+                lower = (uu + vv) <= 1.0
+                iu = 1.0 - uu
+                iv = 1.0 - vv
+                nsel = [
+                    jnp.where(lower,
+                              n0[a] * (1.0 - uu - vv) + n1c[a] * uu
+                              + n3c[a] * vv,
+                              n2c[a] * (1.0 - iu - iv) + n3c[a] * iu
+                              + n1c[a] * iv)
+                    for a in range(3)]
+            else:
+                nsel = c["normal"]
             better = t < bt
             # boolean select via logical ops (Mosaic lacks i1 select)
             bhit = (better & hit) | (~better & bhit)
             bt = jnp.where(better, t, bt)
-            sel = [("n", c["normal"]), ("col", c["color"]),
+            sel = [("n", nsel), ("col", c["color"]),
                    ("em", c["emission"])]
             if need_mat:
                 sel += [("ty", [c["ty"]]), ("rough", [c["rough"]]),
@@ -366,6 +401,11 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             for key, src in sel:
                 attrs[key] = [jnp.where(better, src[a], attrs[key][a])
                               for a in range(len(src))]
+        if has_vn:
+            # one normalize after selection == transform_normal(frame,
+            # normalize(interp)) per candidate (linear maps commute with
+            # normalization); misses keep n == 0
+            attrs["n"] = list(_normalize3(*attrs["n"]))
         return bhit, bt, attrs
 
     def light_pdf(px, py, pz, dx, dy, dz):
