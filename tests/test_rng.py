@@ -89,3 +89,35 @@ def test_conductor_eta_table():
     assert abs(eta[0] - 0.1431189557) < 1e-9
     assert abs(etak[2] - 1.6032152899) < 1e-9
     assert conductor_eta("unobtanium") == ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+
+
+def test_alias_table_matches_cdf_distribution():
+    """sample_alias draws the exact CDF probabilities (wavefront env
+    sampling uses the alias table; the lockstep keeps the CDF search)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yocto_tpu.ops import sampling as SMP
+
+    w = np.array([0.1, 3.0, 0.5, 0.0, 2.4, 1.0], np.float64)
+    prob, alias = SMP.build_alias_table(w)
+    n = len(w)
+    g = 2000
+    cols = ((np.arange(n).repeat(g)
+             + np.tile((np.arange(g) + 0.5) / g, n)) / n)
+    coins = np.tile((np.arange(g) + 0.5) / g, n)
+    idx = np.asarray(SMP.sample_alias(
+        jnp.asarray(prob), jnp.asarray(alias),
+        jnp.asarray(cols, jnp.float32), jnp.asarray(coins, jnp.float32)))
+    freq = np.bincount(idx, minlength=n) / len(idx)
+    want = w / w.sum()
+    assert np.abs(freq - want).max() < 2e-3
+
+    # flat-pool segment: same table appended after a dummy segment
+    pool_p = np.concatenate([np.ones(3, np.float32), prob])
+    pool_a = np.concatenate([np.zeros(3, np.int32), alias])
+    idx2 = np.asarray(SMP.sample_alias(
+        jnp.asarray(pool_p), jnp.asarray(pool_a),
+        jnp.asarray(cols, jnp.float32), jnp.asarray(coins, jnp.float32),
+        start=jnp.full(len(cols), 3, jnp.int32),
+        count=jnp.full(len(cols), n, jnp.int32)))
+    assert np.array_equal(idx, idx2)

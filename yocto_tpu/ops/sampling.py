@@ -119,7 +119,61 @@ def sample_uniform_pdf(size):
     return 1.0 / size
 
 
-def sample_discrete(cdf, r, start=None, count=None, total=None):
+def build_alias_table(weights):
+    """Walker/Vose alias table for exact O(1)-gather discrete sampling.
+
+    Host-side (NumPy). Returns (prob f32[N], alias i32[N]) with LOCAL
+    alias indices. Sampling: pick column k = floor(r_col*N), return k if
+    r_coin < prob[k] else alias[k] — the same marginal distribution as
+    the CDF upper_bound search (yocto_sampling.h:388) but with ONE gather
+    instead of log2(N) sequential ones; built for the wavefront's
+    million-texel environment CDFs where the binary search dominated the
+    shade stage (measured 63 ms/bounce at 340k lanes on features1)."""
+    import numpy as np
+    w = np.asarray(weights, np.float64).reshape(-1)
+    n = w.shape[0]
+    if n == 0:
+        return (np.zeros(0, np.float32), np.zeros(0, np.int32))
+    total = w.sum()
+    if not np.isfinite(total) or total <= 0.0:
+        return (np.ones(n, np.float32), np.arange(n, dtype=np.int32))
+    p = w * (n / total)
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    small = list(np.nonzero(p < 1.0)[0][::-1])
+    large = list(np.nonzero(p >= 1.0)[0][::-1])
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] -= 1.0 - p[s]
+        (small if p[l] < 1.0 else large).append(l)
+    # leftovers (float residue) keep prob=1 -> always take own column
+    return prob.astype(np.float32), alias.astype(np.int32)
+
+
+def sample_alias(prob_flat, alias_flat, r_col, r_coin, start=None,
+                 count=None):
+    """Draw from a flat-pooled alias table segment (see build_alias_table).
+
+    `start`/`count` select the segment; returns LOCAL indices. `r_col`
+    picks the column, `r_coin` the biased coin — two independent uniforms
+    (splitting one float leaves too few mantissa bits at million-entry
+    tables)."""
+    if start is None:
+        start = 0
+        count = prob_flat.shape[0]
+    cnt = jnp.maximum(count, 1)
+    k = jnp.clip((r_col * cnt.astype(jnp.float32)).astype(jnp.int32),
+                 0, cnt - 1)
+    g = jnp.clip(start + k, 0, prob_flat.shape[0] - 1)
+    take_own = r_coin < prob_flat[g]
+    return jnp.where(take_own, k, alias_flat[g])
+
+
+def sample_discrete(cdf, r, start=None, count=None, total=None,
+                    max_count=None):
     """Sample an index from a (possibly flat-pooled) CDF segment.
 
     `cdf` is a flat [N] array of inclusive prefix sums. With `start`/`count`
@@ -136,7 +190,11 @@ def sample_discrete(cdf, r, start=None, count=None, total=None):
     r = jnp.clip(r * total, 0.0, total - 1e-5)
     # branchless binary search for upper_bound within [start, start+count)
     n = cdf.shape[0]
-    max_steps = max(1, int(math.ceil(math.log2(max(n, 2)))) + 1)
+    # max_count (static) bounds the iteration count when the caller knows
+    # every segment it will query is small — e.g. instance-light CDFs in
+    # a pool shared with a million-texel environment CDF
+    max_steps = max(1, int(math.ceil(math.log2(
+        max(n if max_count is None else min(max_count, n), 2)))) + 1)
     shape = jnp.broadcast_shapes(jnp.shape(r), jnp.shape(start))
     lo = jnp.broadcast_to(jnp.asarray(start, jnp.int32), shape)
     hi = jnp.broadcast_to(jnp.asarray(start + count, jnp.int32), shape)

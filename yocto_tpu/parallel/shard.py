@@ -357,7 +357,7 @@ class ShardedRenderer:
                 rel, rng = R.rand1f_if(rng, nd)
                 ruv, rng = R.rand2f_if(rng, nd)
                 inc_l = sample_lights(flat, lights, meta, hit.position,
-                                      rl, rel, ruv)
+                                      rl, rel, ruv, env_alias=True)
                 incoming = jnp.where(use_bsdf[:, None], inc_b, inc_l)
             else:
                 incoming = inc_b

@@ -38,6 +38,11 @@ class FlatLights(NamedTuple):
     cdf_start: jax.Array       # [L] i32
     cdf_count: jax.Array       # [L] i32
     cdf_total: jax.Array       # [L] f32
+    # alias tables over the same segments (env texel picking in O(1)
+    # gathers — the CDF binary search over a million-texel environment
+    # costs log2(N) sequential gathers per lane)
+    alias_prob: jax.Array = None   # [sum] f32
+    alias_idx: jax.Array = None    # [sum] i32
 
 
 class LightsMeta(NamedTuple):
@@ -116,15 +121,27 @@ def make_trace_lights(scene: SceneData, flat=None):
             env_sizes.append(())
 
     starts, counts, totals = [], [], []
+    alias_p, alias_i = [], []
     off = 0
     for cdf in cdfs:
         starts.append(off)
         counts.append(len(cdf))
         totals.append(float(cdf[-1]) if len(cdf) else 0.0)
         off += len(cdf)
+        w = np.diff(cdf, prepend=np.float32(0.0)) if len(cdf) else cdf
+        ap, ai = SMP.build_alias_table(w)
+        alias_p.append(ap)
+        alias_i.append(ai)
     flat_cdf = (np.concatenate(cdfs) if cdfs else np.zeros(0, np.float32))
     if len(flat_cdf) == 0:
         flat_cdf = np.zeros(1, np.float32)
+    flat_ap = (np.concatenate(alias_p) if alias_p
+               else np.zeros(0, np.float32))
+    flat_ai = (np.concatenate(alias_i) if alias_i
+               else np.zeros(0, np.int32))
+    if len(flat_ap) == 0:
+        flat_ap = np.ones(1, np.float32)
+        flat_ai = np.zeros(1, np.int32)
 
     # static walk bound for the pdf: max elements across instance lights
     max_elems = 1
@@ -148,6 +165,8 @@ def make_trace_lights(scene: SceneData, flat=None):
         cdf_total=jnp.asarray(
             np.asarray(totals, np.float32) if totals
             else np.zeros(1, np.float32)),
+        alias_prob=jnp.asarray(flat_ap),
+        alias_idx=jnp.asarray(flat_ai),
     )
     meta = LightsMeta(n_lights=len(insts), max_light_elems=max_elems,
                       env_sizes=tuple(env_sizes), kinds=tuple(kinds),
@@ -156,15 +175,33 @@ def make_trace_lights(scene: SceneData, flat=None):
 
 
 def sample_lights(scene: FlatScene, lights: FlatLights, meta: LightsMeta,
-                  position, rl, rel, ruv):
-    """Direction towards a light (yocto_trace.cpp:361-388). [R,3]."""
+                  position, rl, rel, ruv, env_alias: bool = False):
+    """Direction towards a light (yocto_trace.cpp:361-388). [R,3].
+
+    `env_alias=True` (wavefront pipelines) picks environment texels
+    through the alias tables — identical distribution to the reference's
+    CDF upper_bound but one gather instead of log2(texels) sequential
+    ones. The coin reuses ruv[...,0], which the env-texel branch never
+    consumes (it is the surface-uv draw of instance lights). The lockstep
+    renderer keeps the CDF search for bit-parity with the reference."""
     light_id = SMP.sample_uniform(meta.n_lights, rl)       # [R]
     inst = lights.light_instance[light_id]
     env = lights.light_env[light_id]
     start = lights.cdf_start[light_id]
     count = lights.cdf_count[light_id]
     total = lights.cdf_total[light_id]
-    idx = SMP.sample_discrete(lights.cdf_flat, rel, start, count, total)
+    has_envtex = any(sz != () for sz in meta.env_sizes)
+    if env_alias and has_envtex:
+        # instance segments are small: bound the binary search by their
+        # max element count; env lanes take the alias draw instead
+        idx = SMP.sample_discrete(lights.cdf_flat, rel, start, count,
+                                  total, max_count=meta.max_light_elems)
+        idx_env = SMP.sample_alias(lights.alias_prob, lights.alias_idx,
+                                   rel, ruv[..., 0], start, count)
+        idx = jnp.where(env >= 0, idx_env, idx)
+    else:
+        idx = SMP.sample_discrete(lights.cdf_flat, rel, start, count,
+                                  total)
 
     # --- instance lights
     inst_c = jnp.maximum(inst, 0)

@@ -9,9 +9,12 @@ removed:
 1. **Bounce-level compaction.** The lockstep sampler's `lax.while_loop`
    runs every lane until the LAST lane dies; under Russian roulette the
    live population shrinks roughly geometrically, so late iterations do
-   full-width work for a sliver of live lanes. Here each bounce is a
-   host-level step: lanes that died are scatter-added into the image and
-   the survivors are gathered into the next power-of-two bucket.
+   full-width work for a sliver of live lanes. Here each bounce is ONE
+   fused device dispatch (intersect + shade + live count); dead lanes are
+   scatter-added into the image in that same dispatch and the survivors
+   are compacted in-device (stable partition) into the next power-of-two
+   bucket. Straggler bounces at the minimum bucket run TAIL_STEPS at a
+   time per dispatch (host round trips cost ~25 ms through the tunnel).
 
 2. **Traversal-round compaction.** BVH walks have a long tail (on the
    corpus ~70% of rays finish within 128 node-steps but the worst lane
@@ -57,6 +60,7 @@ from .sceneval import (eval_camera, eval_environment, eval_material,
 MIN_BUCKET = 4096
 TRAV_EXIT_FRAC = 8       # exit the traversal loop below 1/8 live lanes
 TRAV_UNROLL = 4
+TAIL_STEPS = 4           # bounces fused per dispatch at the minimum bucket
 
 
 VOLUME_STACK_CAP = 4  # matches the CUDA reference's fixed svector
@@ -81,12 +85,15 @@ class Lanes(NamedTuple):
 
 
 def _next_bucket(n: int) -> int:
-    """Power-of-FOUR buckets: every distinct bucket size costs one XLA
-    compile of each wavefront stage, so the ladder is kept coarse (4096,
-    16384, 65536, 262144, ...) — at most ~4 sizes per render."""
+    """Power-of-TWO buckets (4096, 8192, 16384, ...). Each distinct size
+    costs one XLA compile of the fused bounce step, amortized by the
+    persistent compilation cache; the finer ladder halves the wasted
+    full-width work on decaying queues vs the earlier power-of-four
+    ladder (measured on features1: bounces 3-5 ran at 65536 lanes for
+    31k/20k live)."""
     b = MIN_BUCKET
     while b < n:
-        b *= 4
+        b *= 2
     return b
 
 
@@ -279,27 +286,39 @@ class WavefrontRenderer:
         key = "isec_dense"
         if key in self._jits:
             return self._jits[key]
+        fn = self._intersect_raw()
+        isec_dense = jax.jit(fn)
+        self._jits[key] = isec_dense
+        return isec_dense
+
+    def _intersect_raw(self):
+        """Unjitted dense closest-hit callable(flat, ro, rd, tmax=...) —
+        the building block both for the standalone jit and the fused
+        bounce step. tmax may be a per-lane array (dead lanes pass 0 so
+        every intersector skips them, CLAUDE.md dead-lane masking)."""
+        key = "isec_raw"
+        if key in self._jits:
+            return self._jits[key]
         kinds = self.features.kinds
         if self._cluster is not None:
             isect = self._cluster
-            isec_dense = jax.jit(lambda flat, ro, rd: isect(flat, ro, rd))
         elif jax.default_backend() != "cpu":
             from .pallas_intersect import (
                 make_pallas_bruteforce_intersector,
                 make_pallas_small_intersector)
-            fn = make_pallas_small_intersector(self.scene_host)
-            if fn is None:
-                fn = make_pallas_bruteforce_intersector(
+            isect = make_pallas_small_intersector(self.scene_host)
+            if isect is None:
+                isect = make_pallas_bruteforce_intersector(
                     self.scene_host, kinds=kinds)
-            isec_dense = jax.jit(fn)
         else:
-            @jax.jit
-            def isec_dense(flat, ro, rd):
-                return intersect_scene_bruteforce(flat, ro, rd,
-                                                  kinds=kinds)
+            isect = functools.partial(intersect_scene_bruteforce,
+                                      kinds=kinds)
 
-        self._jits[key] = isec_dense
-        return isec_dense
+        def fn(flat, ro, rd, tmax=M.flt_max):
+            return isect(flat, ro, rd, tmax=tmax)
+
+        self._jits[key] = fn
+        return fn
 
     def _shade(self):
         key = "shade"
@@ -412,7 +431,7 @@ class WavefrontRenderer:
                 rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
                 rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
                 inc_light = sample_lights(flat, lights, meta, position,
-                                          rl, rel, ruv)
+                                          rl, rel, ruv, env_alias=True)
                 incoming_nd = jnp.where(use_bsdf[:, None], inc_bsdf,
                                         inc_light)
             else:
@@ -501,7 +520,8 @@ class WavefrontRenderer:
                     rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
                     rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
                     inc_lv = sample_lights(flat, lights, meta, position_v,
-                                           rl_v, rel_v, ruv_v)
+                                           rl_v, rel_v, ruv_v,
+                                           env_alias=True)
                     incoming_v = jnp.where(use_scat[:, None], inc_scat,
                                            inc_lv)
                 else:
@@ -581,6 +601,81 @@ class WavefrontRenderer:
 
         self._jits[key] = shade
         return shade
+
+    def _bounce(self):
+        """Fused per-bounce step: intersect + shade + live count in ONE
+        dispatch (the split version cost 3 host round trips per bounce
+        through the ~25 ms tunnel). Dead/padding lanes pass tmax=0 so the
+        intersector sweeps skip them."""
+        key = "bounce"
+        if key in self._jits:
+            return self._jits[key]
+        isect = self._intersect_raw()
+        shade = self._shade()
+
+        @functools.partial(jax.jit, static_argnames=("first_bounce",))
+        def bounce(flat, lights, lanes, img, albedo, normal, hits,
+                   first_bounce):
+            tmax = jnp.where(lanes.pix >= 0, M.flt_max, 0.0)
+            isec = isect(flat, lanes.ro, lanes.rd, tmax=tmax)
+            lanes, img, albedo, normal, hits = shade(
+                flat, lights, lanes, isec.hit, isec.instance, isec.element,
+                isec.uv, isec.distance, img, albedo, normal, hits,
+                first_bounce=first_bounce)
+            nlive = jnp.sum((lanes.pix >= 0).astype(jnp.int32))
+            return lanes, img, albedo, normal, hits, nlive
+
+        self._jits[key] = bounce
+        return bounce
+
+    def _bounce_tail(self, steps: int):
+        """`steps` chained bounce iterations in ONE dispatch for the
+        straggler tail: once the queue is at the minimum bucket no
+        compaction is possible, so the per-bounce host round trips are
+        pure latency. Dead lanes are masked (tmax=0), so the wasted
+        sweep work is negligible."""
+        key = f"bounce_tail_{steps}"
+        if key in self._jits:
+            return self._jits[key]
+        isect = self._intersect_raw()
+        shade = self._shade()
+
+        @jax.jit
+        def bounce_tail(flat, lights, lanes, img, albedo, normal, hits):
+            for _ in range(steps):
+                tmax = jnp.where(lanes.pix >= 0, M.flt_max, 0.0)
+                isec = isect(flat, lanes.ro, lanes.rd, tmax=tmax)
+                lanes, img, albedo, normal, hits = shade(
+                    flat, lights, lanes, isec.hit, isec.instance,
+                    isec.element, isec.uv, isec.distance, img, albedo,
+                    normal, hits, first_bounce=False)
+            nlive = jnp.sum((lanes.pix >= 0).astype(jnp.int32))
+            return lanes, img, albedo, normal, hits, nlive
+
+        self._jits[key] = bounce_tail
+        return bounce_tail
+
+    def _compact(self):
+        """In-device queue compaction: stable-partition live lanes first
+        and slice to the (static) bucket. Replaces the full live-mask
+        host transfer + np.nonzero index build (one round trip + host
+        work) with a single device dispatch. Live-lane ORDER is
+        preserved; the tail of the bucket is real dead lanes (pix=-1),
+        inert in shade exactly like the previous padding scheme."""
+        key = "compact"
+        if key in self._jits:
+            return self._jits[key]
+
+        @functools.partial(jax.jit, static_argnames=("bucket",))
+        def compact(lanes, bucket):
+            dead = (lanes.pix < 0).astype(jnp.int32)
+            order = jnp.argsort(dead, stable=True).astype(jnp.int32)
+            idx = order[:bucket]
+            return jax.tree.map(
+                lambda a: a[idx] if getattr(a, "ndim", 1) else a, lanes)
+
+        self._jits[key] = compact
+        return compact
 
     def _scatter_img(self):
         key = "scatter_img"
@@ -670,10 +765,7 @@ class WavefrontRenderer:
         (+ hit/albedo/normal AOV sums)."""
         npix = self.width * self.height
         lanes = self._raygen()(flat, sample_idx)
-        shade = self._shade()
         scatter_img = self._scatter_img()
-        gather = self._gather()
-        isec_dense = self._intersect_dense() if not self.use_bvh else None
 
         img = jnp.zeros((npix, 3), jnp.float32)
         albedo = jnp.zeros((npix, 3), jnp.float32)
@@ -682,31 +774,90 @@ class WavefrontRenderer:
 
         bounce_lanes = []
         max_iters = self.params.bounces + 32
+        if self.use_bvh:
+            lanes, img, albedo, normal, hits, exhausted = \
+                self._render_sample_bvh(flat, lights, lanes, img, albedo,
+                                        normal, hits, bounce_lanes,
+                                        max_iters)
+        else:
+            lanes, img, albedo, normal, hits, exhausted = \
+                self._render_sample_dense(flat, lights, lanes, img, albedo,
+                                          normal, hits, bounce_lanes,
+                                          max_iters)
+        if exhausted:
+            # lanes at the iteration cap still contribute their radiance
+            img = scatter_img(img, lanes.pix, lanes.radiance,
+                              jnp.full_like(lanes.pix, -1))
+        self.stats["bounce_lanes"] = bounce_lanes
+        self.stats["samples"] += 1
+        self._note_rays(bounce_lanes)
+        return img, albedo, normal, hits
+
+    def _render_sample_dense(self, flat, lights, lanes, img, albedo,
+                             normal, hits, bounce_lanes, max_iters):
+        """Bounce loop over the dense/cluster intersector: ONE fused
+        dispatch per bounce (intersect + shade + live count), in-device
+        compaction, and tail fusion — straggler bounces at the minimum
+        bucket run TAIL_STEPS-at-a-time in one dispatch (each host round
+        trip costs ~25 ms through the tunnel, comparable to the entire
+        device time of a 4096-lane bounce)."""
+        bounce = self._bounce()
+        compact = self._compact()
+        # tail fusion trades one big compile for fewer host round trips —
+        # a tunnel-latency optimization; on CPU (tests) the compile of the
+        # chained graph costs minutes and saves nothing
+        tail_steps = TAIL_STEPS if jax.default_backend() != "cpu" else 1
+        it = 0
+        while it < max_iters:
+            B = int(lanes.pix.shape[0])
+            first = it == 0
+            if not first and B <= MIN_BUCKET and tail_steps > 1:
+                steps = min(tail_steps, max_iters - it)
+                lanes, img, albedo, normal, hits, nlive_a = \
+                    self._bounce_tail(steps)(flat, lights, lanes, img,
+                                             albedo, normal, hits)
+                bounce_lanes.extend([B] * steps)
+                it += steps
+            else:
+                lanes, img, albedo, normal, hits, nlive_a = bounce(
+                    flat, lights, lanes, img, albedo, normal, hits,
+                    first_bounce=first)
+                bounce_lanes.append(B)
+                it += 1
+                if first:
+                    # lanes rarely die before the first shade; skip the
+                    # liveness read (it would serialize the host on the
+                    # dispatch round-trip)
+                    continue
+            nlive = int(nlive_a)
+            if nlive == 0:
+                return lanes, img, albedo, normal, hits, False
+            bucket = _next_bucket(nlive)
+            if bucket < lanes.pix.shape[0]:
+                lanes = compact(lanes, bucket=bucket)
+        return lanes, img, albedo, normal, hits, True
+
+    def _render_sample_bvh(self, flat, lights, lanes, img, albedo, normal,
+                           hits, bounce_lanes, max_iters):
+        """Bounce loop over the threaded-BVH traversal rounds (the
+        correctness path; host-driven compacted rounds)."""
+        shade = self._shade()
+        gather = self._gather()
         for it in range(max_iters):
             bounce_lanes.append(int(lanes.pix.shape[0]))
-            if self.use_bvh:
-                hit, inst_g, elem_g, uv_g, dist = self._traverse(
-                    lanes.ro, lanes.rd)
-                # convert global->local element ids for shade
-                shape = flat.inst_shape[jnp.maximum(inst_g, 0)]
-                elem_l = elem_g - flat.shape_elem_start[shape]
-            else:
-                isec = isec_dense(flat, lanes.ro, lanes.rd)
-                hit, inst_g, elem_l = isec.hit, isec.instance, isec.element
-                uv_g, dist = isec.uv, isec.distance
+            hit, inst_g, elem_g, uv_g, dist = self._traverse(
+                lanes.ro, lanes.rd)
+            # convert global->local element ids for shade
+            shape = flat.inst_shape[jnp.maximum(inst_g, 0)]
+            elem_l = elem_g - flat.shape_elem_start[shape]
             lanes, img, albedo, normal, hits = shade(
                 flat, lights, lanes, hit, inst_g, elem_l, uv_g, dist,
                 img, albedo, normal, hits, first_bounce=(it == 0))
             if it < 1:
-                # lanes rarely die before the first shade; skip the
-                # host sync entirely (a sync costs a full dispatch
-                # round-trip through the tunnel)
                 continue
-            # scalar liveness first: the full mask transfer is only
-            # needed when the bucket actually shrinks
             nlive = int(jnp.sum(lanes.pix >= 0))
             if nlive == 0:
-                break
+                return lanes, img, albedo, normal, hits, False
             bucket = _next_bucket(nlive)
             if bucket < lanes.pix.shape[0]:
                 live = np.asarray(lanes.pix >= 0)
@@ -716,15 +867,7 @@ class WavefrontRenderer:
                 idx_np = np.concatenate(
                     [idx_np, np.full(bucket - nlive, pad_val, np.int64)])
                 lanes = gather(lanes, jnp.asarray(idx_np, jnp.int32))
-        else:
-            # lanes at the iteration cap still contribute their radiance
-            img = scatter_img(img, lanes.pix,
-                              lanes.radiance,
-                              jnp.full_like(lanes.pix, -1))
-        self.stats["bounce_lanes"] = bounce_lanes
-        self.stats["samples"] += 1
-        self._note_rays(bounce_lanes)
-        return img, albedo, normal, hits
+        return lanes, img, albedo, normal, hits, True
 
     # ------------------------------------------------------------------
     # Renderer-compatible API
@@ -940,7 +1083,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             rl_l, rng = R.rand1f_if(rng, nd)
             if has_lights:
                 inc_l = sample_lights(flat, lights, meta, position,
-                                      rl_l, rel_l, ruv_l)
+                                      rl_l, rel_l, ruv_l, env_alias=True)
             else:
                 inc_l = jnp.zeros_like(position)
             lanes = lanes._replace(radiance=radiance, opbounce=opbounce,
@@ -1112,7 +1255,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                     rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
                     rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
                     inc_lv = sample_lights(flat, lights, meta, position_v,
-                                           rl_v, rel_v, ruv_v)
+                                           rl_v, rel_v, ruv_v,
+                                           env_alias=True)
                     incoming_v = jnp.where(use_scat[:, None], inc_scat,
                                            inc_lv)
                 else:
@@ -1282,7 +1426,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 rel, rng = R.rand1f_if(rng, nd & ~use_bsdf)
                 rl, rng = R.rand1f_if(rng, nd & ~use_bsdf)
                 inc_light = sample_lights(flat, lights, meta, position,
-                                          rl, rel, ruv)
+                                          rl, rel, ruv, env_alias=True)
                 incoming_nd = jnp.where(use_bsdf[:, None], inc_bsdf,
                                         inc_light)
             else:
@@ -1378,7 +1522,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                     rel_v, rng = R.rand1f_if(rng, vol & ~use_scat)
                     rl_v, rng = R.rand1f_if(rng, vol & ~use_scat)
                     inc_lv = sample_lights(flat, lights, meta, position_v,
-                                           rl_v, rel_v, ruv_v)
+                                           rl_v, rel_v, ruv_v,
+                                           env_alias=True)
                     incoming_v = jnp.where(use_scat[:, None], inc_scat,
                                            inc_lv)
                 else:
@@ -1468,8 +1613,47 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         return isec.hit, isec.instance, isec.element, isec.uv, \
             isec.distance
 
-    def render_sample(self, flat, lights, sample_idx: int):
-        npix = self.width * self.height
+    def _bounce_mis(self):
+        """Fused pathmis bounce: THREE traversals (main + light-strategy
+        + BSDF-strategy connections) and three shade stages in ONE
+        dispatch — the split version cost ~7 host round trips per
+        bounce."""
+        key = "bounce_mis"
+        if key in self._jits:
+            return self._jits[key]
+        isect = self._intersect_raw()
+        shade_pre, shade_mid, shade_post = self._mis_stages()
+
+        @functools.partial(jax.jit, static_argnames=("first_bounce",))
+        def bounce(flat, lights, lanes, img, albedo, normal, hits,
+                   first_bounce):
+            live = lanes.pix >= 0
+            tmax = jnp.where(live, M.flt_max, 0.0)
+            i0 = isect(flat, lanes.ro, lanes.rd, tmax=tmax)
+            hit, inst_g, elem_l = i0.hit, i0.instance, i0.element
+            uv_g, dist = i0.uv, i0.distance
+            (lanes, flags, position, inc_l, alb, nrm, hit_aov,
+             tdist) = shade_pre(flat, lights, lanes, hit, inst_g, elem_l,
+                                uv_g, dist)
+            ic = isect(flat, position, inc_l, tmax=tmax)
+            lanes, inc_b = shade_mid(
+                flat, lights, lanes, flags, position, inc_l,
+                ic.hit, ic.instance, ic.element, ic.uv,
+                inst_g, elem_l, uv_g, hit)
+            ib = isect(flat, position, inc_b, tmax=tmax)
+            lanes, img, albedo, normal, hits = shade_post(
+                flat, lights, lanes, flags, position, inc_b,
+                ib.hit, ib.instance, ib.element, ib.uv,
+                inst_g, elem_l, uv_g, hit,
+                tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
+                first_bounce=first_bounce)
+            nlive = jnp.sum((lanes.pix >= 0).astype(jnp.int32))
+            return lanes, img, albedo, normal, hits, nlive
+
+        self._jits[key] = bounce
+        return bounce
+
+    def _make_mis_lanes(self, flat, sample_idx):
         lanes_p = self._raygen()(flat, sample_idx)
         vol = {}
         if self.features.has_volumes:
@@ -1477,14 +1661,35 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                        vol_scattering=lanes_p.vol_scattering,
                        vol_aniso=lanes_p.vol_aniso,
                        vol_depth=lanes_p.vol_depth)
-        lanes = PathmisLanes(
+        return PathmisLanes(
             pix=lanes_p.pix, ro=lanes_p.ro, rd=lanes_p.rd,
             weight=lanes_p.weight, radiance=lanes_p.radiance,
             bounce=lanes_p.bounce, opbounce=lanes_p.opbounce,
             next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng,
             **vol)
-        shade_pre, shade_mid, shade_post = self._mis_stages()
-        gather = self._gather()
+
+    def _run_fused_loop(self, flat, lights, lanes, img, albedo, normal,
+                        hits, bounce_fn, max_iters):
+        """Shared dense-path bounce loop: one fused dispatch per bounce,
+        in-device compaction on the power-of-four bucket ladder."""
+        compact = self._compact()
+        for it in range(max_iters):
+            lanes, img, albedo, normal, hits, nlive_a = bounce_fn(
+                flat, lights, lanes, img, albedo, normal, hits,
+                first_bounce=(it == 0))
+            if it < 1:
+                continue  # no deaths expected before the first shade
+            nlive = int(nlive_a)
+            if nlive == 0:
+                return lanes, img, albedo, normal, hits, False
+            bucket = _next_bucket(nlive)
+            if bucket < lanes.pix.shape[0]:
+                lanes = compact(lanes, bucket=bucket)
+        return lanes, img, albedo, normal, hits, True
+
+    def render_sample(self, flat, lights, sample_idx: int):
+        npix = self.width * self.height
+        lanes = self._make_mis_lanes(flat, sample_idx)
 
         img = jnp.zeros((npix, 3), jnp.float32)
         albedo = jnp.zeros((npix, 3), jnp.float32)
@@ -1492,6 +1697,18 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         hits = jnp.zeros(npix, jnp.int32)
 
         max_iters = self.params.bounces + 32
+        if not self.use_bvh:
+            lanes, img, albedo, normal, hits, exhausted = \
+                self._run_fused_loop(flat, lights, lanes, img, albedo,
+                                     normal, hits, self._bounce_mis(),
+                                     max_iters)
+            if exhausted:
+                img = self._scatter_img()(img, lanes.pix, lanes.radiance,
+                                          jnp.full_like(lanes.pix, -1))
+            return img, albedo, normal, hits
+
+        shade_pre, shade_mid, shade_post = self._mis_stages()
+        gather = self._gather()
         for it in range(max_iters):
             hit, inst_g, elem_l, uv_g, dist = self._intersect_any(
                 flat, lanes.ro, lanes.rd)
@@ -1542,24 +1759,42 @@ class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
     per bounce — pathdirect has no BSDF-strategy connection — followed by
     a single fused shade_post."""
 
-    def render_sample(self, flat, lights, sample_idx: int):
-        npix = self.width * self.height
-        lanes_p = self._raygen()(flat, sample_idx)
-        vol = {}
-        if self.features.has_volumes:
-            vol = dict(vol_density=lanes_p.vol_density,
-                       vol_scattering=lanes_p.vol_scattering,
-                       vol_aniso=lanes_p.vol_aniso,
-                       vol_depth=lanes_p.vol_depth)
-        lanes = PathmisLanes(
-            pix=lanes_p.pix, ro=lanes_p.ro, rd=lanes_p.rd,
-            weight=lanes_p.weight, radiance=lanes_p.radiance,
-            bounce=lanes_p.bounce, opbounce=lanes_p.opbounce,
-            next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng,
-            **vol)
+    def _bounce_direct(self):
+        """Fused pathdirect bounce: main + NEE-connection traversals and
+        both shade stages in ONE dispatch."""
+        key = "bounce_direct"
+        if key in self._jits:
+            return self._jits[key]
+        isect = self._intersect_raw()
         shade_pre = self._mis_stages()[0]
         shade_post = self._direct_stages()
-        gather = self._gather()
+
+        @functools.partial(jax.jit, static_argnames=("first_bounce",))
+        def bounce(flat, lights, lanes, img, albedo, normal, hits,
+                   first_bounce):
+            tmax = jnp.where(lanes.pix >= 0, M.flt_max, 0.0)
+            i0 = isect(flat, lanes.ro, lanes.rd, tmax=tmax)
+            hit, inst_g, elem_l = i0.hit, i0.instance, i0.element
+            uv_g, dist = i0.uv, i0.distance
+            (lanes, flags, position, inc_d, alb, nrm, hit_aov,
+             tdist) = shade_pre(flat, lights, lanes, hit, inst_g, elem_l,
+                                uv_g, dist)
+            ic = isect(flat, position, inc_d, tmax=tmax)
+            lanes, img, albedo, normal, hits = shade_post(
+                flat, lights, lanes, flags, position, inc_d,
+                ic.hit, ic.instance, ic.element, ic.uv,
+                inst_g, elem_l, uv_g, hit,
+                tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
+                first_bounce=first_bounce)
+            nlive = jnp.sum((lanes.pix >= 0).astype(jnp.int32))
+            return lanes, img, albedo, normal, hits, nlive
+
+        self._jits[key] = bounce
+        return bounce
+
+    def render_sample(self, flat, lights, sample_idx: int):
+        npix = self.width * self.height
+        lanes = self._make_mis_lanes(flat, sample_idx)
 
         img = jnp.zeros((npix, 3), jnp.float32)
         albedo = jnp.zeros((npix, 3), jnp.float32)
@@ -1567,6 +1802,19 @@ class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
         hits = jnp.zeros(npix, jnp.int32)
 
         max_iters = self.params.bounces + 32
+        if not self.use_bvh:
+            lanes, img, albedo, normal, hits, exhausted = \
+                self._run_fused_loop(flat, lights, lanes, img, albedo,
+                                     normal, hits, self._bounce_direct(),
+                                     max_iters)
+            if exhausted:
+                img = self._scatter_img()(img, lanes.pix, lanes.radiance,
+                                          jnp.full_like(lanes.pix, -1))
+            return img, albedo, normal, hits
+
+        shade_pre = self._mis_stages()[0]
+        shade_post = self._direct_stages()
+        gather = self._gather()
         for it in range(max_iters):
             hit, inst_g, elem_l, uv_g, dist = self._intersect_any(
                 flat, lanes.ro, lanes.rd)
