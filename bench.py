@@ -8,11 +8,19 @@ report the corpus-scale fight the megakernel number hides (VERDICT r1):
                                     spheres, 512x512, full PBR + volumes
                                     (lockstep sampler + cluster
                                     intersector, one dispatch per sample)
+  config2_pathmis_vs_ref /          same scene through the fused wavefront
+  config2_pathdirect_vs_ref         pathmis / pathdirect pipelines (the
+                                    reference's other two headline
+                                    samplers: 74 / 254 kpaths/s CPU)
   features1_Mpaths / features1_vs_ref
                                     reference tests/features1 (444k
                                     candidates, textures + env light),
                                     wavefront pipeline + cluster
                                     intersector
+  grad_Mpaths                       fwd+bwd differentiable render
+                                    (value_and_grad over the full
+                                    parameter pytree, Cornell 128^2) —
+                                    the north star's bwd axis
   mfu_pct                           algorithmic-FLOP model x measured
                                     paths/s / chip peak (bf16): the
                                     honest "how much of the chip does
@@ -37,6 +45,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 REF = {
     "cornell": None,   # read from BASELINE.md marker below
     "config2": 197e3,
+    "pathmis": 74e3,
+    "pathdirect": 254e3,
     "features1": 240e3,
 }
 _REF_FILE = os.path.join(os.path.dirname(__file__), "BASELINE.md")
@@ -103,6 +113,22 @@ def bench_config2():
                            iters=4)
 
 
+def bench_config2_sampler(sampler_name):
+    """config-2 through the fused wavefront pathmis/pathdirect pipelines
+    (reference CPU: pathmis 74 kpaths/s, pathdirect 254 kpaths/s)."""
+    from yocto_tpu.models.examples import make_cornellbox_pbr
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.wavefront import (WavefrontPathdirectRenderer,
+                                           WavefrontPathmisRenderer)
+
+    cls = (WavefrontPathmisRenderer if sampler_name == "pathmis"
+           else WavefrontPathdirectRenderer)
+    params = TraceParams(resolution=512, samples=8, bounces=8,
+                         sampler=getattr(SamplerType, sampler_name),
+                         spp_batch=1)
+    return _bench_renderer(cls(make_cornellbox_pbr(), params), iters=2)
+
+
 def bench_features1():
     from yocto_tpu.io.sceneio import load_scene
     from yocto_tpu.trace.params import SamplerType, TraceParams
@@ -112,6 +138,38 @@ def bench_features1():
     params = TraceParams(resolution=320, samples=64, bounces=8,
                          sampler=SamplerType.path, spp_batch=8)
     return _bench_renderer(WavefrontRenderer(scene, params), iters=2)
+
+
+def bench_grad():
+    """Backward-pass throughput (north star: Mrays/s fwd+bwd on Cornell):
+    one value_and_grad step of the differentiable renderer w.r.t. the
+    full material/emission/camera/geometry parameter pytree."""
+    import jax
+    import jax.numpy as jnp
+    from yocto_tpu.models.examples import make_cornellbox
+    from yocto_tpu.trace.diff import DiffRenderer
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+
+    res, spp, iters = 128, 2, 3
+    params = TraceParams(resolution=res, samples=spp, bounces=4,
+                         sampler=SamplerType.path)
+    dr = DiffRenderer(make_cornellbox(), params, spp=spp)
+    theta = dr.theta()
+
+    @jax.jit
+    def step(theta):
+        img = dr.render(theta)
+        return jnp.sum(img * img)
+
+    vg = jax.jit(jax.value_and_grad(step))
+    out = vg(theta)
+    jax.block_until_ready(out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = vg(theta)
+        jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    return dr.width * dr.height * spp * iters / dt
 
 
 def bench_vpu_util():
@@ -161,7 +219,10 @@ def bench_vpu_util():
 def main():
     cornell = bench_cornell()
     config2 = bench_config2()
+    pathmis = bench_config2_sampler("pathmis")
+    pathdirect = bench_config2_sampler("pathdirect")
     features1 = bench_features1()
+    grad = bench_grad()
     vpu_util = bench_vpu_util()
     ref_c = _ref_cornell()
     mfu = features1 * FLOPS_PER_PATH / PEAK_BF16
@@ -172,8 +233,12 @@ def main():
         "vs_baseline": round(cornell / ref_c, 4),
         "config2_Mpaths": round(config2 / 1e6, 4),
         "config2_vs_ref": round(config2 / REF["config2"], 4),
+        "config2_pathmis_vs_ref": round(pathmis / REF["pathmis"], 4),
+        "config2_pathdirect_vs_ref": round(
+            pathdirect / REF["pathdirect"], 4),
         "features1_Mpaths": round(features1 / 1e6, 4),
         "features1_vs_ref": round(features1 / REF["features1"], 4),
+        "grad_Mpaths": round(grad / 1e6, 4),
         "mfu_pct": round(100 * mfu, 4),
         "vpu_util_pct": round(100 * vpu_util, 2),
     }))
