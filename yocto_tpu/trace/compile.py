@@ -43,6 +43,13 @@ class FlatScene(NamedTuple):
     radius: jax.Array       # [V]
     # element pool (unified quads, global vertex ids)
     elements: jax.Array     # [E,4] i32
+    # per-element packed corner attributes: 4 corners x (pos3 nrm3 uv2)
+    # = [E,32] f32. The shade stage is gather-bound on TPU (cost ~ rows
+    # fetched): interpolating pos/nrm/uv through `elements` costs 13R
+    # gathered rows per bounce (1R element ids + 3 attrs x 4 corners);
+    # this pre-join makes it ONE R-row gather. Derived from positions —
+    # diff.inject_theta rebuilds the position columns differentiably.
+    elem_attrs: jax.Array   # [E,32] f32
     # per-shape tables
     shape_elem_start: jax.Array  # [S] i32
     shape_elem_count: jax.Array  # [S] i32
@@ -271,6 +278,11 @@ def compile_scene(scene: SceneData) -> FlatScene:
                    else np.zeros((0,), np.float32))
     elements = _pad1(np.concatenate(elements) if elements
                      else np.zeros((0, 4), np.int32))
+    elem_attrs = np.concatenate(
+        [np.concatenate([positions[elements[:, k]],
+                         normals[elements[:, k]],
+                         texcoords[elements[:, k]]], axis=1)
+         for k in range(4)], axis=1).astype(np.float32)  # [E,32]
 
     # --- instances
     inst_frame = _pad1(np.stack([np.asarray(i.frame, np.float32)
@@ -374,6 +386,7 @@ def compile_scene(scene: SceneData) -> FlatScene:
     return FlatScene(
         positions=j(positions), normals=j(normals), texcoords=j(texcoords),
         colors=j(colors), radius=j(radius), elements=j(elements),
+        elem_attrs=j(elem_attrs),
         shape_elem_start=j(_pad1(np.asarray(elem_start, np.int32))),
         shape_elem_count=j(_pad1(np.asarray(elem_count, np.int32))),
         shape_kind=j(_pad1(np.asarray(kinds, np.int32), KIND_TRIANGLES)),

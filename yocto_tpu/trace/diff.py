@@ -70,14 +70,23 @@ def extract_theta(flat: FlatScene) -> dict:
 
 
 def inject_theta(flat: FlatScene, theta: dict) -> FlatScene:
-    """Replace differentiable fields; derived fields (instance inverses)
-    are recomputed differentiably so frame gradients stay consistent."""
+    """Replace differentiable fields; derived fields (instance inverses,
+    the packed elem_attrs corner positions) are recomputed differentiably
+    so frame/vertex gradients stay consistent."""
     flat = flat._replace(**{k: theta[k] for k in THETA_FIELDS})
     rot = flat.inst_frame[:, :3, :]                     # [I,3,3]
     inv_rot = jnp.linalg.inv(rot)
     inv_o = -jnp.einsum("ij,ijk->ik", flat.inst_frame[:, 3, :], inv_rot)
+    # rebuild the packed per-element corner positions from the injected
+    # vertex pool (one [E,4] gather per render jit; bwd is the matching
+    # scatter-add into the positions gradient)
+    pos_c = jnp.stack([flat.positions[flat.elements[:, k]]
+                       for k in range(4)], axis=1)      # [E,4,3]
+    ea = flat.elem_attrs.reshape(-1, 4, 8)
+    ea = jnp.concatenate([pos_c, ea[..., 3:]], axis=-1)
     return flat._replace(
-        inst_inv_frame=jnp.concatenate([inv_rot, inv_o[:, None, :]], 1))
+        inst_inv_frame=jnp.concatenate([inv_rot, inv_o[:, None, :]], 1),
+        elem_attrs=ea.reshape(ea.shape[0], 32))
 
 
 def _sg(x):

@@ -90,14 +90,21 @@ def eval_texture(scene: FlatScene, tex_id, uv, as_linear):
     """Bilinear/tiled texture lookup; tex_id == -1 returns white.
 
     tex_id: [R] i32; uv: [R,2]; as_linear: python bool (call-site static).
-    """
+    The six per-texture metadata columns are packed in-trace into one
+    [T,6] table so the lookup pays ONE R-row gather for them (gather
+    cost on TPU scales with fetched rows)."""
     tid = jnp.maximum(tex_id, 0)
-    w = scene.tex_width[tid]
-    h = scene.tex_height[tid]
-    off = scene.tex_offset[tid]
-    clamp_e = scene.tex_clamp[tid]
-    nearest = scene.tex_nearest[tid]
-    stored_linear = scene.tex_linear[tid]
+    meta = jnp.stack([scene.tex_offset, scene.tex_width, scene.tex_height,
+                      scene.tex_linear.astype(jnp.int32),
+                      scene.tex_nearest.astype(jnp.int32),
+                      scene.tex_clamp.astype(jnp.int32)], axis=1)
+    row = meta[tid]                       # [R,6]
+    off = row[..., 0]
+    w = row[..., 1]
+    h = row[..., 2]
+    stored_linear = row[..., 3] != 0
+    nearest = row[..., 4] != 0
+    clamp_e = row[..., 5] != 0
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
@@ -142,21 +149,35 @@ def eval_texture(scene: FlatScene, tex_id, uv, as_linear):
 # ----------------------------------------------------------------------------
 
 def _gather_elem(scene: FlatScene, inst, elem):
-    """Common gathers: shape id, kind, vertex ids, instance frame."""
+    """Common gathers: shape record, kind, instance frame.
+
+    The per-shape int/bool columns are packed in-trace into one [S,4]
+    table so every eval pays ONE R-row gather for them (XLA CSE merges
+    the identical pack + gather across eval_* calls in the same jit);
+    gather cost on TPU scales with fetched rows."""
     shape = scene.inst_shape[inst]
-    kind = scene.shape_kind[shape]
-    verts = scene.elements[elem]          # [R,4]
+    stab = jnp.stack([scene.shape_kind,
+                      scene.shape_has_normals.astype(jnp.int32),
+                      scene.shape_has_texcoords.astype(jnp.int32),
+                      scene.shape_has_colors.astype(jnp.int32)], axis=1)
+    srow = stab[shape]                    # [R,4]
+    kind = srow[..., 0]
     frame = scene.inst_frame[inst]        # [R,4,3]
-    return shape, kind, verts, frame
+    return shape, kind, frame, srow
 
 
-def _interp(attr_pool, verts, kind, uv):
-    """Interpolate a vertex attribute over the unified element.
+def _corner_attrs(scene: FlatScene, elem):
+    """ONE R-row gather for all per-corner attributes: the packed
+    [E,32] elem_attrs row -> (pos [R,4,3], nrm [R,4,3], uv [R,4,2])."""
+    a = scene.elem_attrs[elem]            # [R,32]
+    a = a.reshape(a.shape[:-1] + (4, 8))
+    return a[..., 0:3], a[..., 3:6], a[..., 6:8]
 
-    Quad split interpolation handles triangles (w==z) exactly; lines and
-    points switch on kind.
-    """
-    a = attr_pool[verts]  # [R,4,K]
+
+def _interp_from(a, kind, uv):
+    """Interpolate pre-gathered corner values [R,4,K] over the unified
+    element. Quad split interpolation handles triangles (w==z) exactly;
+    lines and points switch on kind."""
     a0, a1, a2, a3 = a[..., 0, :], a[..., 1, :], a[..., 2, :], a[..., 3, :]
     u = uv[..., 0:1]
     v = uv[..., 1:2]
@@ -173,17 +194,22 @@ def _interp(attr_pool, verts, kind, uv):
     return out
 
 
+def _interp(attr_pool, verts, kind, uv):
+    """Interpolate a vertex attribute gathered from a pool (the
+    cold-path variant for attributes outside elem_attrs: colors)."""
+    return _interp_from(attr_pool[verts], kind, uv)
+
+
 def eval_position(scene: FlatScene, inst, elem, uv):
-    _, kind, verts, frame = _gather_elem(scene, inst, elem)
-    local = _interp(scene.positions, verts, kind, uv)
+    _, kind, frame, _ = _gather_elem(scene, inst, elem)
+    pos, _, _ = _corner_attrs(scene, elem)
+    local = _interp_from(pos, kind, uv)
     return M.transform_point(frame, local)
 
 
-def eval_element_normal(scene: FlatScene, inst, elem):
-    """Geometric normal (yocto_scene.cpp:318-341 equivalent)."""
-    _, kind, verts, frame = _gather_elem(scene, inst, elem)
-    p = scene.positions[verts]
-    p0, p1, p2, p3 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+def _element_normal_local(pos, kind):
+    p0, p1, p2, p3 = (pos[..., 0, :], pos[..., 1, :], pos[..., 2, :],
+                      pos[..., 3, :])
     n_a = M.normalize(M.cross(p1 - p0, p3 - p0))
     n_b = M.normalize(M.cross(p3 - p2, p1 - p2))
     quad_n = M.normalize(n_a + n_b)
@@ -191,29 +217,38 @@ def eval_element_normal(scene: FlatScene, inst, elem):
     point_n = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p0.shape)
     local = jnp.where((kind == KIND_LINES)[..., None], line_t, quad_n)
-    local = jnp.where((kind == KIND_POINTS)[..., None], point_n, local)
-    return M.transform_normal(frame, local)
+    return jnp.where((kind == KIND_POINTS)[..., None], point_n, local)
+
+
+def eval_element_normal(scene: FlatScene, inst, elem):
+    """Geometric normal (yocto_scene.cpp:318-341 equivalent)."""
+    _, kind, frame, _ = _gather_elem(scene, inst, elem)
+    pos, _, _ = _corner_attrs(scene, elem)
+    return M.transform_normal(frame, _element_normal_local(pos, kind))
 
 
 def eval_normal(scene: FlatScene, inst, elem, uv):
-    shape, kind, verts, frame = _gather_elem(scene, inst, elem)
-    has_n = scene.shape_has_normals[shape]
-    interp_n = M.normalize(_interp(scene.normals, verts, kind, uv))
+    _, kind, frame, srow = _gather_elem(scene, inst, elem)
+    has_n = srow[..., 1] != 0
+    pos, nrm, _ = _corner_attrs(scene, elem)
+    interp_n = M.normalize(_interp_from(nrm, kind, uv))
     shading = M.transform_normal(frame, interp_n)
-    geometric = eval_element_normal(scene, inst, elem)
+    geometric = M.transform_normal(frame, _element_normal_local(pos, kind))
     return jnp.where(has_n[..., None], shading, geometric)
 
 
 def eval_texcoord(scene: FlatScene, inst, elem, uv):
-    shape, kind, verts, _ = _gather_elem(scene, inst, elem)
-    has_t = scene.shape_has_texcoords[shape]
-    interp_t = _interp(scene.texcoords, verts, kind, uv)
+    _, kind, _, srow = _gather_elem(scene, inst, elem)
+    has_t = srow[..., 2] != 0
+    _, _, uvs = _corner_attrs(scene, elem)
+    interp_t = _interp_from(uvs, kind, uv)
     return jnp.where(has_t[..., None], interp_t, uv)
 
 
 def eval_color(scene: FlatScene, inst, elem, uv):
-    shape, kind, verts, _ = _gather_elem(scene, inst, elem)
-    has_c = scene.shape_has_colors[shape]
+    _, kind, _, srow = _gather_elem(scene, inst, elem)
+    has_c = srow[..., 3] != 0
+    verts = scene.elements[elem]
     interp_c = _interp(scene.colors, verts, kind, uv)
     return jnp.where(has_c[..., None], interp_c, 1.0)
 
@@ -221,9 +256,8 @@ def eval_color(scene: FlatScene, inst, elem, uv):
 def eval_element_tangents(scene: FlatScene, inst, elem):
     """uv-space tangents of the element's first triangle
     (yocto_scene.cpp:409-443 equivalent; quads evaluated at uv = (0,0))."""
-    shape, kind, verts, frame = _gather_elem(scene, inst, elem)
-    p = scene.positions[verts]
-    t = scene.texcoords[verts]
+    _, kind, frame, _ = _gather_elem(scene, inst, elem)
+    p, _, t = _corner_attrs(scene, elem)
     p0, p1, p3 = p[..., 0, :], p[..., 1, :], p[..., 3, :]
     uv0, uv1, uv3 = t[..., 0, :], t[..., 1, :], t[..., 3, :]
     pp = p1 - p0
@@ -249,9 +283,8 @@ def eval_normalmap(scene: FlatScene, inst, elem, uv, features=None):
     if features is not None and not features.has_normal_tex:
         return normal
     mat = scene.inst_material[inst]
-    normal_tex = scene.mat_normal_tex[mat]
-    shape = scene.inst_shape[inst]
-    kind = scene.shape_kind[shape]
+    normal_tex = _mat_rows(scene, mat)[1][..., 5]
+    _, kind, _, _ = _gather_elem(scene, inst, elem)
     surface = (kind == KIND_TRIANGLES) | (kind == KIND_QUADS)
     apply = (normal_tex >= 0) & surface
 
@@ -286,7 +319,8 @@ def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing,
     else:
         kinds, mat_types = features.kinds, features.mat_types
     if int(MaterialType.refractive) in mat_types:
-        is_refractive = scene.mat_type[mat] == int(MaterialType.refractive)
+        mtype = _mat_rows(scene, mat)[1][..., 0]
+        is_refractive = mtype == int(MaterialType.refractive)
         flip = (M.dot(normal, outgoing) < 0.0) & ~is_refractive
     else:
         flip = M.dot(normal, outgoing) < 0.0
@@ -304,9 +338,32 @@ def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing,
 # Materials (yocto_scene.cpp:531-581)
 # ----------------------------------------------------------------------------
 
+def _mat_rows(scene: FlatScene, mat):
+    """All per-material columns in TWO R-row gathers (f32 + i32).
+
+    Columns (f32): emission 0:3, color 3:6, roughness 6, metallic 7,
+    ior 8, scattering 9:12, scanisotropy 12, trdepth 13, opacity 14.
+    Columns (i32): type 0, emission/color/roughness/scattering/normal
+    texture ids 1-5. Built in-trace from the SoA leaves (so
+    diff.inject_theta values flow through) and CSE-merged across every
+    eval in the same jit."""
+    mtab = jnp.concatenate([
+        scene.mat_emission, scene.mat_color,
+        scene.mat_roughness[:, None], scene.mat_metallic[:, None],
+        scene.mat_ior[:, None], scene.mat_scattering,
+        scene.mat_scanisotropy[:, None], scene.mat_trdepth[:, None],
+        scene.mat_opacity[:, None]], axis=1)
+    itab = jnp.stack([scene.mat_type, scene.mat_emission_tex,
+                      scene.mat_color_tex, scene.mat_roughness_tex,
+                      scene.mat_scattering_tex, scene.mat_normal_tex],
+                     axis=1)
+    return mtab[mat], itab[mat]
+
+
 def eval_material(scene: FlatScene, inst, elem, uv,
                   features=None) -> MaterialPoint:
     mat = scene.inst_material[inst]
+    mrow, irow = _mat_rows(scene, mat)
     f = features
     need_texcoord = f is None or (f.has_emission_tex or f.has_color_tex
                                   or f.has_roughness_tex
@@ -319,14 +376,12 @@ def eval_material(scene: FlatScene, inst, elem, uv,
             return None
         return eval_texture(scene, tex_ids, texcoord, as_linear=as_linear)
 
-    emission_tex = tex(f is None or f.has_emission_tex,
-                       scene.mat_emission_tex[mat], True)
-    color_tex = tex(f is None or f.has_color_tex,
-                    scene.mat_color_tex[mat], True)
-    roughness_tex = tex(f is None or f.has_roughness_tex,
-                        scene.mat_roughness_tex[mat], False)
-    scattering_tex = tex(f is None or f.has_scattering_tex,
-                         scene.mat_scattering_tex[mat], True)
+    emission_tex = tex(f is None or f.has_emission_tex, irow[..., 1], True)
+    color_tex = tex(f is None or f.has_color_tex, irow[..., 2], True)
+    roughness_tex = tex(f is None or f.has_roughness_tex, irow[..., 3],
+                        False)
+    scattering_tex = tex(f is None or f.has_scattering_tex, irow[..., 4],
+                         True)
     color_shp = (eval_color(scene, inst, elem, uv)
                  if f is None or f.has_shape_colors else None)
 
@@ -344,19 +399,19 @@ def eval_material(scene: FlatScene, inst, elem, uv,
                 out = out * fac[..., 3]
         return out
 
-    mtype = scene.mat_type[mat]
-    emission = mul3(scene.mat_emission[mat], emission_tex, color_shp)
-    color = mul3(scene.mat_color[mat], color_tex, color_shp)
-    opacity = mul1(scene.mat_opacity[mat], color_tex, color_shp)
-    metallic = scene.mat_metallic[mat] * (
+    mtype = irow[..., 0]
+    emission = mul3(mrow[..., 0:3], emission_tex, color_shp)
+    color = mul3(mrow[..., 3:6], color_tex, color_shp)
+    opacity = mul1(mrow[..., 14], color_tex, color_shp)
+    metallic = mrow[..., 7] * (
         roughness_tex[..., 2] if roughness_tex is not None else 1.0)
-    roughness = scene.mat_roughness[mat] * (
+    roughness = mrow[..., 6] * (
         roughness_tex[..., 1] if roughness_tex is not None else 1.0)
     roughness = roughness * roughness
-    ior = scene.mat_ior[mat]
-    scattering = mul3(scene.mat_scattering[mat], scattering_tex)
-    scanisotropy = scene.mat_scanisotropy[mat]
-    trdepth = scene.mat_trdepth[mat]
+    ior = mrow[..., 8]
+    scattering = mul3(mrow[..., 9:12], scattering_tex)
+    scanisotropy = mrow[..., 12]
+    trdepth = mrow[..., 13]
     # broadcast scalar-per-material columns that skipped texture modulation
     emission = jnp.broadcast_to(emission, uv.shape[:-1] + (3,))
     color = jnp.broadcast_to(color, uv.shape[:-1] + (3,))
@@ -406,7 +461,7 @@ def is_delta_point(material: MaterialPoint):
 
 def is_volumetric_instance(scene: FlatScene, inst):
     mat = scene.inst_material[inst]
-    t = scene.mat_type[mat]
+    t = _mat_rows(scene, mat)[1][..., 0]
     return ((t == int(MaterialType.refractive))
             | (t == int(MaterialType.volumetric))
             | (t == int(MaterialType.subsurface)))
@@ -443,20 +498,19 @@ def eval_material_deferred(scene: FlatScene, mat, texcoord, color_shp,
     hit's geometry lives on another device but materials/textures are
     replicated. Identical arithmetic to eval_material."""
     f = features
+    mrow, irow = _mat_rows(scene, mat)
 
     def tex(slot_has, tex_ids, as_linear):
         if f is not None and not slot_has:
             return None
         return eval_texture(scene, tex_ids, texcoord, as_linear=as_linear)
 
-    emission_tex = tex(f is None or f.has_emission_tex,
-                       scene.mat_emission_tex[mat], True)
-    color_tex = tex(f is None or f.has_color_tex,
-                    scene.mat_color_tex[mat], True)
-    roughness_tex = tex(f is None or f.has_roughness_tex,
-                        scene.mat_roughness_tex[mat], False)
-    scattering_tex = tex(f is None or f.has_scattering_tex,
-                         scene.mat_scattering_tex[mat], True)
+    emission_tex = tex(f is None or f.has_emission_tex, irow[..., 1], True)
+    color_tex = tex(f is None or f.has_color_tex, irow[..., 2], True)
+    roughness_tex = tex(f is None or f.has_roughness_tex, irow[..., 3],
+                        False)
+    scattering_tex = tex(f is None or f.has_scattering_tex, irow[..., 4],
+                         True)
     if f is not None and not f.has_shape_colors:
         color_shp = None
 
@@ -474,24 +528,24 @@ def eval_material_deferred(scene: FlatScene, mat, texcoord, color_shp,
                 out = out * fac[..., 3]
         return out
 
-    mtype = scene.mat_type[mat]
+    mtype = irow[..., 0]
     n = mat.shape[0]
     emission = jnp.broadcast_to(
-        mul3(scene.mat_emission[mat], emission_tex, color_shp), (n, 3))
+        mul3(mrow[..., 0:3], emission_tex, color_shp), (n, 3))
     color = jnp.broadcast_to(
-        mul3(scene.mat_color[mat], color_tex, color_shp), (n, 3))
+        mul3(mrow[..., 3:6], color_tex, color_shp), (n, 3))
     opacity = jnp.broadcast_to(
-        mul1(scene.mat_opacity[mat], color_tex, color_shp), (n,))
-    metallic = jnp.broadcast_to(scene.mat_metallic[mat] * (
+        mul1(mrow[..., 14], color_tex, color_shp), (n,))
+    metallic = jnp.broadcast_to(mrow[..., 7] * (
         roughness_tex[..., 2] if roughness_tex is not None else 1.0), (n,))
-    roughness = scene.mat_roughness[mat] * (
+    roughness = mrow[..., 6] * (
         roughness_tex[..., 1] if roughness_tex is not None else 1.0)
     roughness = jnp.broadcast_to(roughness * roughness, (n,))
-    ior = scene.mat_ior[mat]
+    ior = mrow[..., 8]
     scattering = jnp.broadcast_to(
-        mul3(scene.mat_scattering[mat], scattering_tex), (n, 3))
-    scanisotropy = scene.mat_scanisotropy[mat]
-    trdepth = scene.mat_trdepth[mat]
+        mul3(mrow[..., 9:12], scattering_tex), (n, 3))
+    scanisotropy = mrow[..., 12]
+    trdepth = mrow[..., 13]
 
     mat_types = tuple(range(8)) if f is None else f.mat_types
     volumetric_types = (
