@@ -245,3 +245,54 @@ def test_megakernel_glossy_reflective_matches_lockstep():
     d = np.abs(img - ref)
     assert d.mean() < 2e-4, d.mean()
     assert (d.max(-1) > 0.05).mean() < 0.005
+
+
+def test_megakernel_constant_env_matches_lockstep():
+    """Cornell + a constant-color textureless environment: the env joins
+    the uniform light pick (sample_sphere direction, 1/4pi pdf) and misses
+    collect weight * emission — same draw sites as the lockstep sampler."""
+    from yocto_tpu.models.scene import EnvironmentData
+
+    scene = make_cornellbox()
+    scene.environments.append(EnvironmentData(
+        emission=np.array([0.2, 0.3, 0.4], np.float32)))
+    scene.environment_names.append("sky")
+    params = TraceParams(resolution=24, samples=3, bounces=5,
+                         sampler=SamplerType.path)
+    feats = scene_features(scene)
+    assert supports_pallas_path(scene, feats, params)
+    r = Renderer(scene, params)
+    ref = get_image(r.render())[..., :3]
+
+    run = make_pallas_path_sampler(scene, params, interpret=True)
+    state = make_trace_state(scene, params)
+    img = np.zeros((24, 24, 3), np.float32)
+    rngs = state.rng
+    for s in range(3):
+        ro, rd, rngs = sample_camera_rays(r.flat, 0, 24, 24, rngs, False)
+        radiance, hit, alb, nrm, rngs = run(ro, rd, rngs)
+        rad = np.nan_to_num(np.asarray(radiance), nan=0.0)
+        mx = rad.max(-1)
+        scale = np.where(mx > params.clamp,
+                         params.clamp / np.maximum(mx, 1e-20), 1.0)
+        rad = rad * scale[:, None]
+        img += (rad.reshape(24, 24, 3) - img) / (s + 1)
+    d = np.abs(img - ref)
+    assert d.mean() < 2e-4, d.mean()
+    assert (d.max(-1) > 0.05).mean() < 0.005
+
+
+def test_megakernel_env_qualification():
+    """Textured environments fall back; constant ones qualify."""
+    from yocto_tpu.models.scene import EnvironmentData, TextureData
+
+    params = TraceParams(resolution=24, samples=1, bounces=4,
+                         sampler=SamplerType.path)
+    scene = make_cornellbox()
+    scene.textures.append(TextureData(
+        pixelsf=np.ones((4, 4, 4), np.float32), width=4, height=4))
+    scene.texture_names.append("sky_tex")
+    scene.environments.append(EnvironmentData(
+        emission=np.ones(3, np.float32), emission_tex=0))
+    scene.environment_names.append("sky")
+    assert not supports_pallas_path(scene, scene_features(scene), params)

@@ -2,8 +2,9 @@
 
 For Cornell-class scenes (<=512 elements; matte/glossy/reflective rough
 lobes plus delta mirror/transparent/refractive lobes with zero-density
-interiors; smooth or faceted shading; no textures, area lights, no
-environment) the entire 8-bounce `trace_path` estimator runs
+interiors; smooth or faceted shading; no textures; area lights and
+constant-color textureless environments) the entire 8-bounce
+`trace_path` estimator runs
 in ONE kernel: rays, PCG32 state, weights, and radiance live in vector
 registers; candidates, materials, and light geometry are compile-time
 immediates. The only HBM traffic is camera rays + RNG in, radiance +
@@ -84,8 +85,13 @@ def supports_pallas_path(scene: SceneData, features: SceneFeatures,
                 return False  # passthrough-ior branch not in the kernel
     if any(k not in (2, 3) for k in features.kinds):
         return False
-    if scene.environments:
-        return False
+    from ..models.scene import INVALID
+    for env in scene.environments:
+        # constant-color environments only: emission is a compile-time
+        # immediate and sample_lights reduces to sample_sphere
+        # (lights.py:218); textured envs fall back to the samplers
+        if env.emission_tex != INVALID:
+            return False
     ncand = 0
     for inst in scene.instances:
         shape = scene.shapes[inst.shape]
@@ -102,6 +108,9 @@ def supports_pallas_path(scene: SceneData, features: SceneFeatures,
             if ne == 0 or ne > 8:
                 return False
             nlights += 1
+    for env in scene.environments:
+        if np.any(np.asarray(env.emission) != 0):
+            nlights += 1  # env lights join the uniform light pick
     return 1 <= nlights <= 4
 
 
@@ -306,7 +315,21 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
     """Returns run(ro, rd, rngs) -> (radiance, hit, albedo, normal, rngs)
     matching the lockstep sampler interface, or None if unsupported."""
     cands, lights = _host_scene_tables(scene)
-    nlights = len(lights)
+    # constant-color environments (qualification rejects textured ones):
+    # the miss emission is the compile-time sum over all envs
+    # (eval_environment, sceneval.py:474), and each nonzero-emission env
+    # is one uniform-sphere entry in the light inventory (lights.py:98)
+    env_total = np.zeros(3, np.float64)
+    n_env_lights = 0
+    for env in scene.environments:
+        em = np.asarray(env.emission, np.float32)
+        env_total = env_total + em
+        if np.any(em != 0):
+            n_env_lights += 1
+    env_total = env_total.astype(np.float32)
+    has_env = bool(np.any(env_total != 0))
+    envhidden = bool(params.envhidden)
+    nlights = len(lights) + n_env_lights
     bounces = int(params.bounces)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -438,6 +461,10 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
                 lpdf = lpdf + jnp.where(
                     ok, t * t / jnp.where(denom == 0.0, 1.0, denom), 0.0)
             pdf = pdf + lpdf
+        if n_env_lights:
+            # textureless env: sample_sphere pdf (sample_lights_pdf,
+            # lights.py:256)
+            pdf = pdf + n_env_lights / (4.0 * M.pif)
         return pdf / nlights
 
     def sample_light_dir(px, py, pz, rl, rel, ru, rv):
@@ -474,7 +501,19 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             lx = jnp.where(sel_l, ex, lx)
             ly = jnp.where(sel_l, ey, ly)
             lz = jnp.where(sel_l, ez, lz)
-        return _normalize3(lx - px, ly - py, lz - pz)
+        dx, dy, dz = _normalize3(lx - px, ly - py, lz - pz)
+        if n_env_lights:
+            # env light pick: sample_sphere(ruv) (lights.py:218) — the
+            # rel draw is consumed but unused, like the reference; all
+            # env entries sit after the instance lights (lights.py:98)
+            z = 2.0 * rv - 1.0
+            r = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+            phi = 2.0 * M.pif * ru
+            is_env = lid >= len(lights)
+            dx = jnp.where(is_env, r * jnp.cos(phi), dx)
+            dy = jnp.where(is_env, r * jnp.sin(phi), dy)
+            dz = jnp.where(is_env, z, dz)
+        return dx, dy, dz
 
     def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
                sh_r, sl_r, ih_r, il_r,
@@ -502,6 +541,13 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
         for bounce in range(bounces):
             hit, t, attrs = closest_hit(rox, roy, roz, rdx, rdy, rdz)
             shade = alive & hit
+            if has_env and (bounce > 0 or not envhidden):
+                # miss: constant environment then terminate
+                # (pathtrace.py:148-158)
+                miss = alive & ~hit
+                lr = jnp.where(miss, lr + wr * float(env_total[0]), lr)
+                lg = jnp.where(miss, lg + wg * float(env_total[1]), lg)
+                lb = jnp.where(miss, lb + wb * float(env_total[2]), lb)
             alive = shade
 
             if has_vol:

@@ -311,9 +311,10 @@ class Renderer:
         if mode == "dense" and on_tpu:
             # full path-tracing megakernel for qualifying small scenes
             # (matte/glossy/reflective rough lobes + delta mirror/
-            # transparent/zero-density glass, no textures): one kernel per
-            # sample instead of ~50 XLA kernels per bounce (same draw
-            # sites/streams as the lockstep sampler)
+            # transparent/zero-density glass, constant-color environments,
+            # no textures): one kernel per sample instead of ~50 XLA
+            # kernels per bounce (same draw sites/streams as the lockstep
+            # sampler)
             from .pallas_path import (make_pallas_path_sampler,
                                       supports_pallas_path)
             if (params.exact_rng and max(1, params.spp_batch) == 1
