@@ -70,6 +70,21 @@ def test_wavefront_bvh_path():
     assert abs(img.mean() - ref.mean()) < 2e-2
 
 
+def test_wavefront_nocaustics_matches_lockstep():
+    """nocaustics (per-lane max-roughness history, yocto_trace.cpp:499-502)
+    through the wavefront: must be accepted AND agree with the lockstep
+    nocaustics render — which differs visibly from the caustic render."""
+    scene = _glass_cornell()
+    base = dict(resolution=32, samples=12, bounces=4,
+                sampler=SamplerType.path, nocaustics=True)
+    ref = get_image(Renderer(scene, TraceParams(**base)).render())[..., :3]
+    wf = WavefrontRenderer(scene, TraceParams(**base, spp_batch=4))
+    img = np.asarray(wf.render().image)[..., :3]
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 1.2e-2
+    assert np.abs(img - ref).mean() < 0.08
+
+
 def test_wavefront_pathmis_matches_lockstep():
     from yocto_tpu.trace.wavefront import WavefrontPathmisRenderer
 

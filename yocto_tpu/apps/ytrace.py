@@ -144,7 +144,7 @@ def main(argv=None):
     from ..trace.params import SamplerType as _ST
     wf_auto = (params.sampler in (_ST.path, _ST.pathtest, _ST.pathmis,
                                   _ST.pathdirect)
-               and n_cands > 4096 and not params.nocaustics)
+               and n_cands > 4096)
     use_wavefront = (args.wavefront == "on"
                      or (args.wavefront == "auto" and wf_auto))
     with SimpleTimer("build renderer"):

@@ -30,6 +30,9 @@ KIND_LINES = 1
 KIND_TRIANGLES = 2
 KIND_QUADS = 3
 
+TEX_QUAD_MAX = 16_777_216   # texel budget for the 2x2-packed quad pool
+CAND_ATTRS_MAX = 8_000_000  # candidate budget for the surface join table
+
 
 class FlatScene(NamedTuple):
     """Device scene. All leaves are jnp arrays; static metadata (counts)
@@ -101,6 +104,30 @@ class FlatScene(NamedTuple):
     # brute-force candidate list: all (instance, element) pairs
     cand_inst: jax.Array    # [Cand] i32
     cand_elem: jax.Array    # [Cand] i32 (global element idx)
+    # 2x2-packed texel quads: row q[j*w+i] = [t(i,j), t(i+1,j), t(i,j+1),
+    # t(i+1,j+1)] (x/y wrap mod w/h, matching eval_texture's ii/jj
+    # arithmetic). One R-row gather per bilinear lookup instead of four —
+    # gather cost on TPU scales with fetched rows, and rows up to 128
+    # lanes cost the same as narrow ones. None when the texel pool
+    # exceeds TEX_QUAD_MAX (memory is 4x the base pool) or for
+    # differentiable renders (tex_data is a theta leaf; inject_theta
+    # clears this cache).
+    tex_quad: jax.Array = None  # [N,16] f32
+    # per-candidate surface join: everything the wavefront shade needs at
+    # a hit in ONE [Cand,64] row gather (vs 7 split gathers: inst_shape,
+    # shape row, inst_material, material f32/i32 rows, elem_attrs). Keyed
+    # by global candidate id = inst_cand_start[instance] + local element,
+    # so instanced shapes with different materials stay correct. Columns:
+    #   0:32  corner attrs (pos3 nrm3 uv2 x 4, == elem_attrs row)
+    #   32:47 material f32 row (emission3 color3 rough metal ior
+    #         scattering3 scanis trdepth opacity)
+    #   47:53 material i32 row as exact f32 (type + 5 texture ids)
+    #   53:57 shape row (kind has_n has_t has_c)
+    #   57    material id
+    # None when Cand > CAND_ATTRS_MAX or for differentiable renders
+    # (inject_theta clears it: positions/materials are theta leaves).
+    cand_attrs: jax.Array = None       # [Cand,64] f32
+    inst_cand_start: jax.Array = None  # [I] i32
 
 
 class SceneFeatures(NamedTuple):
@@ -349,6 +376,26 @@ def compile_scene(scene: SceneData) -> FlatScene:
         tex_nearest.append(tex.nearest)
         tex_clamp.append(tex.clamp)
         toff += len(px)
+    # 2x2-packed texel quads (see FlatScene.tex_quad): built per texture
+    # with the SAME wrap arithmetic as eval_texture (ii=(i+1)%w,
+    # jj=(j+1)%h) so the packed path is bit-identical to the 4-tap path
+    total_texels = sum(len(px) for px in tex_data)
+    if 0 < total_texels <= TEX_QUAD_MAX:
+        quads = []
+        for px, w_, h_ in zip(tex_data, tex_w, tex_h):
+            if len(px) == w_ * h_ and w_ > 0 and h_ > 0:
+                pxr = px.reshape(h_, w_, 4)
+                xi = (np.arange(w_) + 1) % w_
+                yi = (np.arange(h_) + 1) % h_
+                q = np.concatenate(
+                    [pxr, pxr[:, xi], pxr[yi], pxr[yi][:, xi]],
+                    axis=2).reshape(-1, 16)  # [t00, t10, t01, t11]
+            else:  # degenerate/empty placeholder texture
+                q = np.concatenate([px] * 4, axis=1)
+            quads.append(q.astype(np.float32))
+        tex_quad = np.concatenate(quads)
+    else:
+        tex_quad = None
     tex_data = _pad1(np.concatenate(tex_data) if tex_data
                      else np.zeros((0, 4), np.float32))
 
@@ -372,15 +419,48 @@ def compile_scene(scene: SceneData) -> FlatScene:
 
     # --- brute-force candidates
     cand_inst, cand_elem = [], []
+    inst_cand_start = []
+    coff = 0
     for iidx, inst in enumerate(scene.instances):
         s = inst.shape
         start, count = elem_start[s], elem_count[s]
         cand_inst.append(np.full(count, iidx, np.int32))
         cand_elem.append(np.arange(start, start + count, dtype=np.int32))
+        inst_cand_start.append(coff)
+        coff += count
     cand_inst = _pad1(np.concatenate(cand_inst) if cand_inst
                       else np.zeros((0,), np.int32))
     cand_elem = _pad1(np.concatenate(cand_elem) if cand_elem
                       else np.zeros((0,), np.int32))
+    inst_cand_start = _pad1(np.asarray(inst_cand_start, np.int32))
+
+    # --- per-candidate surface join table (see FlatScene.cand_attrs)
+    if 0 < coff <= CAND_ATTRS_MAX:
+        m_ids = np.clip(inst_material[cand_inst], 0, len(mat_type) - 1)
+        s_ids = np.clip(inst_shape[cand_inst], 0,
+                        len(elem_start) - 1 if elem_start else 0)
+        mtab = np.concatenate([
+            mat_emission, mat_color, mat_roughness[:, None],
+            mat_metallic[:, None], mat_ior[:, None], mat_scattering,
+            mat_scanisotropy[:, None], mat_trdepth[:, None],
+            mat_opacity[:, None]], axis=1).astype(np.float32)  # [M,15]
+        itab = np.stack([mat_type, mat_emission_tex, mat_color_tex,
+                         mat_roughness_tex, mat_scattering_tex,
+                         mat_normal_tex], axis=1).astype(np.float32)
+        srow = np.stack([np.asarray(kinds, np.int32),
+                         np.asarray(has_n, np.int32),
+                         np.asarray(has_t, np.int32),
+                         np.asarray(has_c, np.int32)],
+                        axis=1).astype(np.float32) if kinds else \
+            np.zeros((1, 4), np.float32)
+        cand_attrs = np.zeros((len(cand_inst), 64), np.float32)
+        cand_attrs[:, 0:32] = elem_attrs[cand_elem]
+        cand_attrs[:, 32:47] = mtab[m_ids]
+        cand_attrs[:, 47:53] = itab[m_ids]
+        cand_attrs[:, 53:57] = srow[s_ids]
+        cand_attrs[:, 57] = m_ids.astype(np.float32)
+    else:
+        cand_attrs = None
 
     j = jnp.asarray
     return FlatScene(
@@ -427,6 +507,9 @@ def compile_scene(scene: SceneData) -> FlatScene:
         cam_aperture=j(_pad1(np.asarray(
             [c.aperture for c in cams], np.float32))),
         cand_inst=j(cand_inst), cand_elem=j(cand_elem),
+        tex_quad=None if tex_quad is None else j(tex_quad),
+        cand_attrs=None if cand_attrs is None else j(cand_attrs),
+        inst_cand_start=j(inst_cand_start),
     )
 
 

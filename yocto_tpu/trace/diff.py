@@ -86,7 +86,11 @@ def inject_theta(flat: FlatScene, theta: dict) -> FlatScene:
     ea = jnp.concatenate([pos_c, ea[..., 3:]], axis=-1)
     return flat._replace(
         inst_inv_frame=jnp.concatenate([inv_rot, inv_o[:, None, :]], 1),
-        elem_attrs=ea.reshape(ea.shape[0], 32))
+        elem_attrs=ea.reshape(ea.shape[0], 32),
+        # the packed texel-quad cache duplicates tex_data (a theta leaf);
+        # clearing it routes eval_texture through the differentiable 4-tap
+        # path so texture gradients flow
+        tex_quad=None)
 
 
 def _sg(x):

@@ -319,14 +319,15 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
     # the miss emission is the compile-time sum over all envs
     # (eval_environment, sceneval.py:474), and each nonzero-emission env
     # is one uniform-sphere entry in the light inventory (lights.py:98)
-    env_total = np.zeros(3, np.float64)
+    # accumulate in float32 in eval_environment's sequential order so the
+    # multi-env miss radiance matches the lockstep sampler bit-for-bit
+    env_total = np.zeros(3, np.float32)
     n_env_lights = 0
     for env in scene.environments:
         em = np.asarray(env.emission, np.float32)
-        env_total = env_total + em
+        env_total = (env_total + em).astype(np.float32)
         if np.any(em != 0):
             n_env_lights += 1
-    env_total = env_total.astype(np.float32)
     has_env = bool(np.any(env_total != 0))
     envhidden = bool(params.envhidden)
     nlights = len(lights) + n_env_lights

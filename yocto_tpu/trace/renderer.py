@@ -374,6 +374,40 @@ class Renderer:
         return state
 
 
+def make_renderer(scene: SceneData, params: TraceParams,
+                  wavefront: str = "auto", spp_batch: Optional[int] = None):
+    """Auto-select the production renderer for a scene (the role of
+    ycutrace vs ytrace dispatch in the reference, apps/ytrace.cpp:98-160):
+    big scenes with path-family samplers go through the wavefront
+    pipeline; small/megakernel-qualified scenes use the lockstep
+    Renderer.  `wavefront` is "auto" | "on" | "off"."""
+    import dataclasses
+
+    from .params import SamplerType as _ST
+
+    n_cands = sum(
+        max(len(scene.shapes[i.shape].points),
+            len(scene.shapes[i.shape].lines),
+            len(scene.shapes[i.shape].triangles),
+            len(scene.shapes[i.shape].quads))
+        for i in scene.instances if 0 <= i.shape < len(scene.shapes))
+    wf_auto = (params.sampler in (_ST.path, _ST.pathtest, _ST.pathmis,
+                                  _ST.pathdirect)
+               and n_cands > 4096)
+    if wavefront == "on" or (wavefront == "auto" and wf_auto):
+        from .wavefront import (WavefrontPathdirectRenderer,
+                                WavefrontPathmisRenderer, WavefrontRenderer)
+        spp = spp_batch or max(params.batch, params.spp_batch, 4)
+        cls = {_ST.pathmis: WavefrontPathmisRenderer,
+               _ST.pathdirect: WavefrontPathdirectRenderer}.get(
+                   params.sampler, WavefrontRenderer)
+        try:
+            return cls(scene, dataclasses.replace(params, spp_batch=spp))
+        except ValueError:
+            pass  # unsupported feature combination -> lockstep fallback
+    return Renderer(scene, params)
+
+
 def trace_samples(renderer: Renderer, state: TraceState,
                   params: TraceParams) -> TraceState:
     """Advance the accumulator by params.batch samples."""

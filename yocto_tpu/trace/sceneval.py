@@ -124,18 +124,27 @@ def eval_texture(scene: FlatScene, tex_id, uv, as_linear):
     u = s - i.astype(jnp.float32)
     v = t - j.astype(jnp.float32)
 
-    def fetch(ci, cj):
-        texel = scene.tex_data[off + cj * w + ci]
+    def conv(texel):
         if as_linear:
             texel = jnp.where(stored_linear[..., None], texel,
                               srgb_to_rgb(texel))
         return texel
 
-    t00 = fetch(i, j)
+    if scene.tex_quad is not None:
+        # ONE R-row gather for all four bilinear taps (tex_quad packs the
+        # 2x2 neighborhood per texel with the same wrap arithmetic as the
+        # 4-tap path below — bit-identical values)
+        q = scene.tex_quad[off + j * w + i]
+        t00 = conv(q[..., 0:4])
+        t10 = conv(q[..., 4:8])
+        t01 = conv(q[..., 8:12])
+        t11 = conv(q[..., 12:16])
+    else:
+        t00 = conv(scene.tex_data[off + j * w + i])
+        t01 = conv(scene.tex_data[off + jj * w + i])
+        t10 = conv(scene.tex_data[off + j * w + ii])
+        t11 = conv(scene.tex_data[off + jj * w + ii])
     near = t00
-    t01 = fetch(i, jj)
-    t10 = fetch(ii, j)
-    t11 = fetch(ii, jj)
     bil = (t00 * ((1 - u) * (1 - v))[..., None]
            + t01 * ((1 - u) * v)[..., None]
            + t10 * (u * (1 - v))[..., None]

@@ -82,6 +82,7 @@ class Lanes(NamedTuple):
     vol_scattering: jax.Array = None  # [B,CAP,3]
     vol_aniso: jax.Array = None       # [B,CAP]
     vol_depth: jax.Array = None       # [B] i32
+    max_rough: jax.Array = None       # [B] f32 (None unless nocaustics)
 
 
 def _next_bucket(n: int) -> int:
@@ -108,9 +109,6 @@ class WavefrontRenderer:
         self.params = params
         self.flat = compile_scene(scene)
         self.features = scene_features(scene)
-        if params.nocaustics:
-            raise ValueError("nocaustics needs the per-lane max-roughness "
-                             "history; use the lockstep Renderer")
         self.lights, self.meta = make_trace_lights(scene)
         self.width, self.height = render_size(scene, params)
         self.spp_batch = max(1, params.spp_batch)
@@ -194,6 +192,8 @@ class WavefrontRenderer:
                     vol_scattering=jnp.zeros((n, cap, 3), jnp.float32),
                     vol_aniso=jnp.zeros((n, cap), jnp.float32),
                     vol_depth=jnp.zeros(n, jnp.int32))
+            if params.nocaustics:
+                vol["max_rough"] = jnp.zeros(n, jnp.float32)
             return Lanes(
                 pix=jnp.tile(jnp.arange(npix, dtype=jnp.int32), spp),
                 ro=ro, rd=rd,
@@ -394,6 +394,17 @@ class WavefrontRenderer:
                                          features=feat)
             material = eval_material(flat, inst, gelem, uv_g, features=feat)
             surf = alive & ~in_volume if has_volumes else alive
+
+            # nocaustics: clamp roughness to the per-lane path maximum
+            # (yocto_trace.cpp:499-502); lane history updates on surface
+            # interactions only, like the reference's max_roughness local
+            if params.nocaustics:
+                mr = jnp.maximum(material.roughness, lanes.max_rough)
+                material = material._replace(
+                    roughness=jnp.where(surf, mr, material.roughness))
+                max_rough_out = jnp.where(surf, mr, lanes.max_rough)
+            else:
+                max_rough_out = lanes.max_rough
 
             if has_opacity:
                 op_lt1 = surf & (material.opacity < 1.0)
@@ -596,7 +607,8 @@ class WavefrontRenderer:
                 hits_img = hits_img.at[fidx].add(okf.astype(jnp.int32))
             return (Lanes(pix=pix, ro=ro, rd=rd, weight=weight,
                           radiance=radiance, bounce=bounce,
-                          opbounce=opbounce, rng=rng, **vol_kwargs),
+                          opbounce=opbounce, rng=rng,
+                          max_rough=max_rough_out, **vol_kwargs),
                     img, albedo_img, normal_img, hits_img)
 
         self._jits[key] = shade
@@ -929,6 +941,7 @@ class PathmisLanes(NamedTuple):
     vol_scattering: jax.Array = None
     vol_aniso: jax.Array = None
     vol_depth: jax.Array = None
+    max_rough: jax.Array = None       # [B] f32 (None unless nocaustics)
 
 
 class WavefrontPathmisRenderer(WavefrontRenderer):
@@ -982,6 +995,11 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
                                          features=feat)
             material = eval_material(flat, inst, gelem, uv_g, features=feat)
+            if params.nocaustics:
+                # clamp to the per-lane path max (yocto_trace.cpp:822-826);
+                # unmasked is safe: values only matter where surf holds
+                material = material._replace(roughness=jnp.maximum(
+                    material.roughness, lanes.max_rough))
             return inst, position, normal, material, outgoing
 
         def emission_at(flat, direction, hit, inst_g, elem_g, uv_g):
@@ -1086,6 +1104,10 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                                       rl_l, rel_l, ruv_l, env_alias=True)
             else:
                 inc_l = jnp.zeros_like(position)
+            if params.nocaustics:
+                # material.roughness is already max(own, history) here
+                lanes = lanes._replace(max_rough=jnp.where(
+                    surf, material.roughness, lanes.max_rough))
             lanes = lanes._replace(radiance=radiance, opbounce=opbounce,
                                    rng=rng)
             # mask tuple carried host-side between stages
@@ -1330,7 +1352,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             return (PathmisLanes(pix=pix, ro=ro, rd=rd, weight=weight,
                                  radiance=radiance, bounce=bounce,
                                  opbounce=lanes.opbounce,
-                                 next_em=next_em, rng=rng, **vol_kwargs),
+                                 next_em=next_em, rng=rng,
+                                 max_rough=lanes.max_rough, **vol_kwargs),
                     img, albedo_img, normal_img, hits_img)
 
         stages = (shade_pre, shade_mid, shade_post)
@@ -1366,6 +1389,9 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
                                          features=feat)
             material = eval_material(flat, inst, gelem, uv_g, features=feat)
+            if params.nocaustics:
+                material = material._replace(roughness=jnp.maximum(
+                    material.roughness, lanes.max_rough))
             return inst, position, normal, material, outgoing
 
         def emission_at(flat, direction, hit, inst_g, elem_g, uv_g):
@@ -1596,7 +1622,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             return (PathmisLanes(pix=pix, ro=ro, rd=rd, weight=weight,
                                  radiance=radiance, bounce=bounce,
                                  opbounce=lanes.opbounce,
-                                 next_em=next_em, rng=rng, **vol_kwargs),
+                                 next_em=next_em, rng=rng,
+                                 max_rough=lanes.max_rough, **vol_kwargs),
                     img, albedo_img, normal_img, hits_img)
 
         self._jits[key] = shade_post
@@ -1666,7 +1693,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             weight=lanes_p.weight, radiance=lanes_p.radiance,
             bounce=lanes_p.bounce, opbounce=lanes_p.opbounce,
             next_em=jnp.ones_like(lanes_p.pix, bool), rng=lanes_p.rng,
-            **vol)
+            max_rough=lanes_p.max_rough, **vol)
 
     def _run_fused_loop(self, flat, lights, lanes, img, albedo, normal,
                         hits, bounce_fn, max_iters):
