@@ -47,3 +47,47 @@ def test_tex_quad_bitwise_matches_4tap(as_linear):
     packed = eval_texture(flat, tex_id, uv, as_linear=as_linear)
     fourtap = eval_texture(flat_np, tex_id, uv, as_linear=as_linear)
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(fourtap))
+
+def test_surface_rows_bitwise_matches_split_gathers():
+    """cand_attrs packed-row evals vs the split-table evals: bit-identical
+    position/normal/material on a textured corpus-class scene (features1:
+    uvgrid + normal map + glass + metal + env)."""
+    from yocto_tpu.models.testscenes import make_test_scene
+    from yocto_tpu.trace.compile import scene_features
+    from yocto_tpu.trace.sceneval import (eval_material, eval_position,
+                                          eval_shading_normal,
+                                          gather_surface_rows)
+
+    scene = make_test_scene("features1")
+    flat = compile_scene(scene)
+    assert flat.cand_attrs is not None
+    feat = scene_features(scene)
+
+    rng = np.random.RandomState(11)
+    n = 256
+    ncand = int(np.asarray(flat.cand_inst).shape[0])
+    cand = rng.randint(0, ncand, n)
+    inst = jnp.asarray(np.asarray(flat.cand_inst)[cand])
+    gelem = jnp.asarray(np.asarray(flat.cand_elem)[cand])
+    elem_l = gelem - flat.shape_elem_start[flat.inst_shape[inst]]
+    uv = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+    out = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+    rows = gather_surface_rows(flat, inst, elem_l)
+    assert rows is not None
+
+    p_packed = eval_position(flat, inst, None, uv, rows=rows)
+    p_split = eval_position(flat, inst, gelem, uv)
+    np.testing.assert_array_equal(np.asarray(p_packed), np.asarray(p_split))
+
+    n_packed = eval_shading_normal(flat, inst, None, uv, out,
+                                   features=feat, rows=rows)
+    n_split = eval_shading_normal(flat, inst, gelem, uv, out, features=feat)
+    np.testing.assert_array_equal(np.asarray(n_packed), np.asarray(n_split))
+
+    m_packed = eval_material(flat, inst, None, uv, features=feat, rows=rows)
+    m_split = eval_material(flat, inst, gelem, uv, features=feat)
+    for field, a, b in zip(m_packed._fields, m_packed, m_split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=field)

@@ -87,10 +87,11 @@ def inject_theta(flat: FlatScene, theta: dict) -> FlatScene:
     return flat._replace(
         inst_inv_frame=jnp.concatenate([inv_rot, inv_o[:, None, :]], 1),
         elem_attrs=ea.reshape(ea.shape[0], 32),
-        # the packed texel-quad cache duplicates tex_data (a theta leaf);
-        # clearing it routes eval_texture through the differentiable 4-tap
-        # path so texture gradients flow
-        tex_quad=None)
+        # the packed texel-quad and candidate-join caches duplicate theta
+        # leaves (tex_data; positions/materials); clearing them routes
+        # eval_texture/eval_material through the differentiable pools so
+        # gradients flow
+        tex_quad=None, cand_attrs=None)
 
 
 def _sg(x):

@@ -35,8 +35,9 @@ from .lights import (FlatLights, LightsMeta, sample_lights,
 from .params import FalsecolorType, SamplerType, TraceParams
 from .sceneval import (MaterialPoint, eval_element_normal, eval_environment,
                        eval_material, eval_normal, eval_shading_normal,
-                       eval_shading_position, eval_texcoord, is_delta_point,
-                       is_volumetric_instance)
+                       eval_shading_position, eval_texcoord,
+                       gather_surface_rows, is_delta_point,
+                       is_volumetric_type)
 
 VOLUME_STACK_CAP = 4  # the CUDA reference uses a fixed svector too
 
@@ -160,6 +161,7 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
 
         # --- volume transmittance (only lanes inside a volume)
         if has_volumes:
@@ -188,11 +190,11 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
         surf = hit_l & ~in_volume if has_volumes else hit_l
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
+                                     features=features, rows=rows)
         material = eval_material(scene, inst, gelem, isec.uv,
-                                 features=features)
+                                 features=features, rows=rows)
         if force_matte:
             material = material._replace(
                 type=jnp.zeros_like(material.type))
@@ -292,7 +294,7 @@ def make_path_sampler(scene: FlatScene, lights: FlatLights,
             crossed = (M.dot(normal, outgoing)
                        * M.dot(normal, incoming)) < 0.0
             vol_change = shade & alive & crossed \
-                & is_volumetric_instance(scene, inst)
+                & is_volumetric_type(material.type)
             push = vol_change & (st.vol_depth == 0)
             pop = vol_change & (st.vol_depth > 0)
             st = _vol_push(st, push, material.density, material.scattering,
@@ -421,12 +423,14 @@ def make_naive_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
-        material = eval_material(scene, inst, gelem, isec.uv, features=features)
+                                     features=features, rows=rows)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
 
         if has_opacity:
             op_lt1 = hit_l & (material.opacity < 1.0)
@@ -559,12 +563,14 @@ def make_eyelight_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
-        material = eval_material(scene, inst, gelem, isec.uv, features=features)
+                                     features=features, rows=rows)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
 
         if has_opacity:
             op_lt1 = hit_l & (material.opacity < 1.0)
@@ -662,14 +668,16 @@ def make_falsecolor_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
         outgoing = -rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
-        gnormal = eval_element_normal(scene, inst, gelem)
+                                     features=features, rows=rows)
+        gnormal = eval_element_normal(scene, inst, gelem, rows=rows)
         texcoord = eval_texcoord(scene, inst, gelem, isec.uv)
-        material = eval_material(scene, inst, gelem, isec.uv, features=features)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
         delta = is_delta_point(material)
 
         t = FalsecolorType
@@ -773,12 +781,14 @@ def make_furnace_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
-        material = eval_material(scene, inst, gelem, isec.uv, features=features)
+                                     features=features, rows=rows)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
 
         if has_opacity:
             op_lt1 = hit_l & (material.opacity < 1.0)
@@ -886,9 +896,11 @@ def _nee_emission(scene, intersect_fn, position, incoming, features=None):
     inst = jnp.maximum(isec.instance, 0)
     shape = scene.inst_shape[inst]
     gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
-    mat = eval_material(scene, inst, gelem, isec.uv, features=features)
+    rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
+    mat = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
     nrm = eval_shading_normal(scene, inst, gelem, isec.uv, -incoming,
-                              features=features)
+                              features=features, rows=rows)
     hit_em = B.eval_emission(mat, nrm, -incoming)
     if scene.env_frame.shape[0] > 0:
         env = eval_environment(scene, incoming)
@@ -933,6 +945,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
 
         if has_volumes:
             in_stack = hit_l & (st.vol_depth > 0)
@@ -955,10 +968,11 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             surf = hit_l
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
-        material = eval_material(scene, inst, gelem, isec.uv, features=features)
+                                     features=features, rows=rows)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
 
         if params.nocaustics:
             max_roughness = jnp.where(
@@ -1070,7 +1084,7 @@ def make_pathdirect_sampler(scene: FlatScene, lights: FlatLights,
             crossed = (M.dot(normal, outgoing)
                        * M.dot(normal, incoming)) < 0.0
             vol_change = shade & alive & crossed \
-                & is_volumetric_instance(scene, inst)
+                & is_volumetric_type(material.type)
             push = vol_change & (st.vol_depth == 0)
             pop = vol_change & (st.vol_depth > 0)
             st = _vol_push(st, push, material.density, material.scattering,
@@ -1201,6 +1215,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
         inst = jnp.maximum(isec.instance, 0)
         shape = scene.inst_shape[inst]
         gelem = scene.shape_elem_start[shape] + jnp.maximum(isec.element, 0)
+        rows = gather_surface_rows(scene, inst, jnp.maximum(isec.element, 0))
 
         if has_volumes:
             in_stack = hit_l & (st.vol_depth > 0)
@@ -1223,10 +1238,11 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
             surf = hit_l
         outgoing = -st.rd
         position = eval_shading_position(scene, inst, gelem, isec.uv,
-                                         outgoing)
+                                         outgoing, rows=rows)
         normal = eval_shading_normal(scene, inst, gelem, isec.uv, outgoing,
-                                     features=features)
-        material = eval_material(scene, inst, gelem, isec.uv, features=features)
+                                     features=features, rows=rows)
+        material = eval_material(scene, inst, gelem, isec.uv, features=features,
+                                 rows=rows)
 
         if params.nocaustics:
             max_roughness = jnp.where(
@@ -1356,7 +1372,7 @@ def make_pathmis_sampler(scene: FlatScene, lights: FlatLights,
             crossed = (M.dot(normal, outgoing)
                        * M.dot(normal, incoming)) < 0.0
             vol_change = shade & st.alive & crossed \
-                & is_volumetric_instance(scene, inst)
+                & is_volumetric_type(material.type)
             push = vol_change & (st.vol_depth == 0)
             pop = vol_change & (st.vol_depth > 0)
             st = _vol_push(st, push, material.density, material.scattering,

@@ -25,6 +25,37 @@ from .compile import (FlatScene, KIND_LINES, KIND_POINTS, KIND_QUADS,
 MIN_ROUGHNESS = 0.03 * 0.03  # yocto_scene.cpp:199
 
 
+class SurfaceRows(NamedTuple):
+    """Pre-gathered per-lane surface rows from FlatScene.cand_attrs: the
+    whole material/shape/corner join in ONE [R,64]-row gather (gather cost
+    on TPU scales with fetched rows). Values are bit-identical copies of
+    the split tables, so evals produce bit-identical results."""
+
+    corner: jax.Array   # [R,4,8] corner attrs (pos3 nrm3 uv2 per corner)
+    mrow: jax.Array     # [R,15] material f32 columns (_mat_rows layout)
+    irow: jax.Array     # [R,6] material i32 columns (type + 5 tex ids)
+    srow: jax.Array     # [R,4] shape row (kind has_n has_t has_c)
+    mat: jax.Array      # [R] i32 material id
+
+
+def gather_surface_rows(scene: FlatScene, inst, elem_local):
+    """One [R,64] gather keyed by global candidate id
+    (inst_cand_start[instance] + local element). Returns None when the
+    scene has no packed join table (huge scenes / differentiable renders
+    after inject_theta)."""
+    if scene.cand_attrs is None:
+        return None
+    cand = jnp.clip(scene.inst_cand_start[inst] + elem_local, 0,
+                    scene.cand_attrs.shape[0] - 1)
+    a = scene.cand_attrs[cand]
+    return SurfaceRows(
+        corner=a[..., 0:32].reshape(a.shape[:-1] + (4, 8)),
+        mrow=a[..., 32:47],
+        irow=a[..., 47:53].astype(jnp.int32),
+        srow=a[..., 53:57].astype(jnp.int32),
+        mat=a[..., 57].astype(jnp.int32))
+
+
 class MaterialPoint(NamedTuple):
     """SoA material point (yocto_scene.h material_point equivalent)."""
 
@@ -157,13 +188,17 @@ def eval_texture(scene: FlatScene, tex_id, uv, as_linear):
 # Geometry attribute interpolation
 # ----------------------------------------------------------------------------
 
-def _gather_elem(scene: FlatScene, inst, elem):
+def _gather_elem(scene: FlatScene, inst, elem, rows=None):
     """Common gathers: shape record, kind, instance frame.
 
     The per-shape int/bool columns are packed in-trace into one [S,4]
     table so every eval pays ONE R-row gather for them (XLA CSE merges
     the identical pack + gather across eval_* calls in the same jit);
-    gather cost on TPU scales with fetched rows."""
+    gather cost on TPU scales with fetched rows. With pre-gathered
+    SurfaceRows, the shape-table gather is skipped entirely."""
+    frame = scene.inst_frame[inst]        # [R,4,3]
+    if rows is not None:
+        return None, rows.srow[..., 0], frame, rows.srow
     shape = scene.inst_shape[inst]
     stab = jnp.stack([scene.shape_kind,
                       scene.shape_has_normals.astype(jnp.int32),
@@ -171,15 +206,17 @@ def _gather_elem(scene: FlatScene, inst, elem):
                       scene.shape_has_colors.astype(jnp.int32)], axis=1)
     srow = stab[shape]                    # [R,4]
     kind = srow[..., 0]
-    frame = scene.inst_frame[inst]        # [R,4,3]
     return shape, kind, frame, srow
 
 
-def _corner_attrs(scene: FlatScene, elem):
+def _corner_attrs(scene: FlatScene, elem, rows=None):
     """ONE R-row gather for all per-corner attributes: the packed
     [E,32] elem_attrs row -> (pos [R,4,3], nrm [R,4,3], uv [R,4,2])."""
-    a = scene.elem_attrs[elem]            # [R,32]
-    a = a.reshape(a.shape[:-1] + (4, 8))
+    if rows is not None:
+        a = rows.corner
+    else:
+        a = scene.elem_attrs[elem]        # [R,32]
+        a = a.reshape(a.shape[:-1] + (4, 8))
     return a[..., 0:3], a[..., 3:6], a[..., 6:8]
 
 
@@ -209,9 +246,9 @@ def _interp(attr_pool, verts, kind, uv):
     return _interp_from(attr_pool[verts], kind, uv)
 
 
-def eval_position(scene: FlatScene, inst, elem, uv):
-    _, kind, frame, _ = _gather_elem(scene, inst, elem)
-    pos, _, _ = _corner_attrs(scene, elem)
+def eval_position(scene: FlatScene, inst, elem, uv, rows=None):
+    _, kind, frame, _ = _gather_elem(scene, inst, elem, rows)
+    pos, _, _ = _corner_attrs(scene, elem, rows)
     local = _interp_from(pos, kind, uv)
     return M.transform_point(frame, local)
 
@@ -229,44 +266,44 @@ def _element_normal_local(pos, kind):
     return jnp.where((kind == KIND_POINTS)[..., None], point_n, local)
 
 
-def eval_element_normal(scene: FlatScene, inst, elem):
+def eval_element_normal(scene: FlatScene, inst, elem, rows=None):
     """Geometric normal (yocto_scene.cpp:318-341 equivalent)."""
-    _, kind, frame, _ = _gather_elem(scene, inst, elem)
-    pos, _, _ = _corner_attrs(scene, elem)
+    _, kind, frame, _ = _gather_elem(scene, inst, elem, rows)
+    pos, _, _ = _corner_attrs(scene, elem, rows)
     return M.transform_normal(frame, _element_normal_local(pos, kind))
 
 
-def eval_normal(scene: FlatScene, inst, elem, uv):
-    _, kind, frame, srow = _gather_elem(scene, inst, elem)
+def eval_normal(scene: FlatScene, inst, elem, uv, rows=None):
+    _, kind, frame, srow = _gather_elem(scene, inst, elem, rows)
     has_n = srow[..., 1] != 0
-    pos, nrm, _ = _corner_attrs(scene, elem)
+    pos, nrm, _ = _corner_attrs(scene, elem, rows)
     interp_n = M.normalize(_interp_from(nrm, kind, uv))
     shading = M.transform_normal(frame, interp_n)
     geometric = M.transform_normal(frame, _element_normal_local(pos, kind))
     return jnp.where(has_n[..., None], shading, geometric)
 
 
-def eval_texcoord(scene: FlatScene, inst, elem, uv):
-    _, kind, _, srow = _gather_elem(scene, inst, elem)
+def eval_texcoord(scene: FlatScene, inst, elem, uv, rows=None):
+    _, kind, _, srow = _gather_elem(scene, inst, elem, rows)
     has_t = srow[..., 2] != 0
-    _, _, uvs = _corner_attrs(scene, elem)
+    _, _, uvs = _corner_attrs(scene, elem, rows)
     interp_t = _interp_from(uvs, kind, uv)
     return jnp.where(has_t[..., None], interp_t, uv)
 
 
-def eval_color(scene: FlatScene, inst, elem, uv):
-    _, kind, _, srow = _gather_elem(scene, inst, elem)
+def eval_color(scene: FlatScene, inst, elem, uv, rows=None):
+    _, kind, _, srow = _gather_elem(scene, inst, elem, rows)
     has_c = srow[..., 3] != 0
     verts = scene.elements[elem]
     interp_c = _interp(scene.colors, verts, kind, uv)
     return jnp.where(has_c[..., None], interp_c, 1.0)
 
 
-def eval_element_tangents(scene: FlatScene, inst, elem):
+def eval_element_tangents(scene: FlatScene, inst, elem, rows=None):
     """uv-space tangents of the element's first triangle
     (yocto_scene.cpp:409-443 equivalent; quads evaluated at uv = (0,0))."""
-    _, kind, frame, _ = _gather_elem(scene, inst, elem)
-    p, _, t = _corner_attrs(scene, elem)
+    _, kind, frame, _ = _gather_elem(scene, inst, elem, rows)
+    p, _, t = _corner_attrs(scene, elem, rows)
     p0, p1, p3 = p[..., 0, :], p[..., 1, :], p[..., 3, :]
     uv0, uv1, uv3 = t[..., 0, :], t[..., 1, :], t[..., 3, :]
     pp = p1 - p0
@@ -286,21 +323,22 @@ def eval_element_tangents(scene: FlatScene, inst, elem):
             M.transform_direction(frame, tv))
 
 
-def eval_normalmap(scene: FlatScene, inst, elem, uv, features=None):
+def eval_normalmap(scene: FlatScene, inst, elem, uv, features=None,
+                   rows=None):
     """Normal mapping (yocto_scene.cpp:446-467)."""
-    normal = eval_normal(scene, inst, elem, uv)
+    normal = eval_normal(scene, inst, elem, uv, rows)
     if features is not None and not features.has_normal_tex:
         return normal
-    mat = scene.inst_material[inst]
-    normal_tex = _mat_rows(scene, mat)[1][..., 5]
-    _, kind, _, _ = _gather_elem(scene, inst, elem)
+    mat = rows.mat if rows is not None else scene.inst_material[inst]
+    normal_tex = _mat_rows(scene, mat, rows)[1][..., 5]
+    _, kind, _, _ = _gather_elem(scene, inst, elem, rows)
     surface = (kind == KIND_TRIANGLES) | (kind == KIND_QUADS)
     apply = (normal_tex >= 0) & surface
 
-    texcoord = eval_texcoord(scene, inst, elem, uv)
+    texcoord = eval_texcoord(scene, inst, elem, uv, rows)
     normalmap = -1.0 + 2.0 * eval_texture(
         scene, normal_tex, texcoord, as_linear=False)[..., :3]
-    tu, tv = eval_element_tangents(scene, inst, elem)
+    tu, tv = eval_element_tangents(scene, inst, elem, rows)
     fx = M.orthonormalize(tu, normal)
     fy = M.normalize(M.cross(normal, fx))
     flip_v = M.dot(fy, tv) < 0.0
@@ -311,24 +349,26 @@ def eval_normalmap(scene: FlatScene, inst, elem, uv, features=None):
     return jnp.where(apply[..., None], mapped, normal)
 
 
-def eval_shading_position(scene: FlatScene, inst, elem, uv, outgoing):
-    return eval_position(scene, inst, elem, uv)
+def eval_shading_position(scene: FlatScene, inst, elem, uv, outgoing,
+                          rows=None):
+    return eval_position(scene, inst, elem, uv, rows)
 
 
 def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing,
-                        features=None):
+                        features=None, rows=None):
     """Shading normal with facing flip / line / point handling
     (yocto_scene.cpp:469-505)."""
-    shape, kind, _, _ = _gather_elem(scene, inst, elem)
-    mat = scene.inst_material[inst]
-    normal = eval_normalmap(scene, inst, elem, uv, features=features)
+    shape, kind, _, _ = _gather_elem(scene, inst, elem, rows)
+    mat = rows.mat if rows is not None else scene.inst_material[inst]
+    normal = eval_normalmap(scene, inst, elem, uv, features=features,
+                            rows=rows)
     if features is None:
         kinds = (KIND_POINTS, KIND_LINES, KIND_TRIANGLES, KIND_QUADS)
         mat_types = tuple(range(8))
     else:
         kinds, mat_types = features.kinds, features.mat_types
     if int(MaterialType.refractive) in mat_types:
-        mtype = _mat_rows(scene, mat)[1][..., 0]
+        mtype = _mat_rows(scene, mat, rows)[1][..., 0]
         is_refractive = mtype == int(MaterialType.refractive)
         flip = (M.dot(normal, outgoing) < 0.0) & ~is_refractive
     else:
@@ -336,7 +376,7 @@ def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing,
     out = jnp.where(flip[..., None], -normal, normal)
     if KIND_LINES in kinds:
         line_n = M.orthonormalize(outgoing,
-                                  eval_normal(scene, inst, elem, uv))
+                                  eval_normal(scene, inst, elem, uv, rows))
         out = jnp.where((kind == KIND_LINES)[..., None], line_n, out)
     if KIND_POINTS in kinds:
         out = jnp.where((kind == KIND_POINTS)[..., None], outgoing, out)
@@ -347,7 +387,7 @@ def eval_shading_normal(scene: FlatScene, inst, elem, uv, outgoing,
 # Materials (yocto_scene.cpp:531-581)
 # ----------------------------------------------------------------------------
 
-def _mat_rows(scene: FlatScene, mat):
+def _mat_rows(scene: FlatScene, mat, rows=None):
     """All per-material columns in TWO R-row gathers (f32 + i32).
 
     Columns (f32): emission 0:3, color 3:6, roughness 6, metallic 7,
@@ -355,7 +395,9 @@ def _mat_rows(scene: FlatScene, mat):
     Columns (i32): type 0, emission/color/roughness/scattering/normal
     texture ids 1-5. Built in-trace from the SoA leaves (so
     diff.inject_theta values flow through) and CSE-merged across every
-    eval in the same jit."""
+    eval in the same jit. Pre-gathered SurfaceRows short-circuit both."""
+    if rows is not None:
+        return rows.mrow, rows.irow
     mtab = jnp.concatenate([
         scene.mat_emission, scene.mat_color,
         scene.mat_roughness[:, None], scene.mat_metallic[:, None],
@@ -370,14 +412,15 @@ def _mat_rows(scene: FlatScene, mat):
 
 
 def eval_material(scene: FlatScene, inst, elem, uv,
-                  features=None) -> MaterialPoint:
-    mat = scene.inst_material[inst]
-    mrow, irow = _mat_rows(scene, mat)
+                  features=None, rows=None) -> MaterialPoint:
+    mrow, irow = _mat_rows(
+        scene, None if rows is not None else scene.inst_material[inst],
+        rows)
     f = features
     need_texcoord = f is None or (f.has_emission_tex or f.has_color_tex
                                   or f.has_roughness_tex
                                   or f.has_scattering_tex)
-    texcoord = (eval_texcoord(scene, inst, elem, uv) if need_texcoord
+    texcoord = (eval_texcoord(scene, inst, elem, uv, rows) if need_texcoord
                 else None)
 
     def tex(slot_has, tex_ids, as_linear):
@@ -391,7 +434,7 @@ def eval_material(scene: FlatScene, inst, elem, uv,
                         False)
     scattering_tex = tex(f is None or f.has_scattering_tex, irow[..., 4],
                          True)
-    color_shp = (eval_color(scene, inst, elem, uv)
+    color_shp = (eval_color(scene, inst, elem, uv, rows)
                  if f is None or f.has_shape_colors else None)
 
     def mul3(base, *factors):
@@ -468,12 +511,17 @@ def is_delta_point(material: MaterialPoint):
             | (t == int(MaterialType.volumetric)))
 
 
-def is_volumetric_instance(scene: FlatScene, inst):
-    mat = scene.inst_material[inst]
-    t = _mat_rows(scene, mat)[1][..., 0]
+def is_volumetric_type(t):
+    """Volumetric test on a material-type array (yocto_scene.cpp:268-278;
+    type is never texture-modulated, so this equals the instance test)."""
     return ((t == int(MaterialType.refractive))
             | (t == int(MaterialType.volumetric))
             | (t == int(MaterialType.subsurface)))
+
+
+def is_volumetric_instance(scene: FlatScene, inst):
+    mat = scene.inst_material[inst]
+    return is_volumetric_type(_mat_rows(scene, mat)[1][..., 0])
 
 
 # ----------------------------------------------------------------------------

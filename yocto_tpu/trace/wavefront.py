@@ -55,6 +55,7 @@ from .params import SamplerType, TraceParams
 from .renderer import TraceState, make_trace_state, render_size
 from .sceneval import (eval_camera, eval_environment, eval_material,
                        eval_shading_normal, eval_shading_position,
+                       gather_surface_rows,
                        is_delta_point)
 
 MIN_BUCKET = 4096
@@ -333,7 +334,7 @@ class WavefrontRenderer:
         types = feat.mat_types
         envhidden = params.envhidden
         from ..ops import shading as SH
-        from .sceneval import is_volumetric_instance
+        from .sceneval import is_volumetric_type
 
         clamp = params.clamp
 
@@ -385,14 +386,20 @@ class WavefrontRenderer:
                 in_volume = jnp.zeros_like(hit_l)
 
             inst = jnp.maximum(inst_g, 0)
-            shape = flat.inst_shape[inst]
-            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            elem_l = jnp.maximum(elem_g, 0)
+            rows = gather_surface_rows(flat, inst, elem_l)
+            if rows is None:
+                shape = flat.inst_shape[inst]
+                gelem = flat.shape_elem_start[shape] + elem_l
+            else:
+                gelem = None  # every eval reads the packed rows
             outgoing = -lanes.rd
             position = eval_shading_position(flat, inst, gelem, uv_g,
-                                             outgoing)
+                                             outgoing, rows=rows)
             normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
-                                         features=feat)
-            material = eval_material(flat, inst, gelem, uv_g, features=feat)
+                                         features=feat, rows=rows)
+            material = eval_material(flat, inst, gelem, uv_g, features=feat,
+                                     rows=rows)
             surf = alive & ~in_volume if has_volumes else alive
 
             # nocaustics: clamp roughness to the per-lane path maximum
@@ -489,7 +496,7 @@ class WavefrontRenderer:
                 crossed = (M.dot(normal, outgoing)
                            * M.dot(normal, incoming)) < 0.0
                 vol_change = shade_m & alive & crossed \
-                    & is_volumetric_instance(flat, inst)
+                    & is_volumetric_type(material.type)
                 push = vol_change & (lanes.vol_depth == 0)
                 pop = vol_change & (lanes.vol_depth > 0)
                 cap = VOLUME_STACK_CAP
@@ -979,7 +986,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         envhidden = params.envhidden
         clamp = params.clamp
         from ..ops import shading as SH
-        from .sceneval import is_volumetric_instance
+        from .sceneval import is_volumetric_type
 
         def mis_heuristic(this_pdf, other_pdf):
             return (this_pdf * this_pdf) / (
@@ -987,14 +994,20 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
 
         def surface(flat, lanes, hit, inst_g, elem_g, uv_g):
             inst = jnp.maximum(inst_g, 0)
-            shape = flat.inst_shape[inst]
-            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            elem_l = jnp.maximum(elem_g, 0)
+            rows = gather_surface_rows(flat, inst, elem_l)
+            if rows is None:
+                shape = flat.inst_shape[inst]
+                gelem = flat.shape_elem_start[shape] + elem_l
+            else:
+                gelem = None
             outgoing = -lanes.rd
             position = eval_shading_position(flat, inst, gelem, uv_g,
-                                             outgoing)
+                                             outgoing, rows=rows)
             normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
-                                         features=feat)
-            material = eval_material(flat, inst, gelem, uv_g, features=feat)
+                                         features=feat, rows=rows)
+            material = eval_material(flat, inst, gelem, uv_g, features=feat,
+                                     rows=rows)
             if params.nocaustics:
                 # clamp to the per-lane path max (yocto_trace.cpp:822-826);
                 # unmasked is safe: values only matter where surf holds
@@ -1006,11 +1019,17 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             """Emission seen along a connection ray (pathtrace._nee_emission
             semantics: facing hit emission, env on miss)."""
             inst = jnp.maximum(inst_g, 0)
-            shape = flat.inst_shape[inst]
-            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
-            mat = eval_material(flat, inst, gelem, uv_g, features=feat)
+            elem_l = jnp.maximum(elem_g, 0)
+            rows = gather_surface_rows(flat, inst, elem_l)
+            if rows is None:
+                shape = flat.inst_shape[inst]
+                gelem = flat.shape_elem_start[shape] + elem_l
+            else:
+                gelem = None
+            mat = eval_material(flat, inst, gelem, uv_g, features=feat,
+                                rows=rows)
             nrm = eval_shading_normal(flat, inst, gelem, uv_g, -direction,
-                                      features=feat)
+                                      features=feat, rows=rows)
             em = B.eval_emission(mat, nrm, -direction)
             if flat.env_frame.shape[0] > 0:
                 env = eval_environment(flat, direction)
@@ -1227,7 +1246,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 crossed = (M.dot(normal, outgoing)
                            * M.dot(normal, incoming)) < 0.0
                 vol_change = shade_m & alive & crossed \
-                    & is_volumetric_instance(flat, inst)
+                    & is_volumetric_type(material.type)
                 push = vol_change & (lanes.vol_depth == 0)
                 pop = vol_change & (lanes.vol_depth > 0)
                 cap = VOLUME_STACK_CAP
@@ -1377,18 +1396,24 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         types = feat.mat_types
         clamp = params.clamp
         from ..ops import shading as SH
-        from .sceneval import is_volumetric_instance
+        from .sceneval import is_volumetric_type
 
         def surface(flat, lanes, hit, inst_g, elem_g, uv_g):
             inst = jnp.maximum(inst_g, 0)
-            shape = flat.inst_shape[inst]
-            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
+            elem_l = jnp.maximum(elem_g, 0)
+            rows = gather_surface_rows(flat, inst, elem_l)
+            if rows is None:
+                shape = flat.inst_shape[inst]
+                gelem = flat.shape_elem_start[shape] + elem_l
+            else:
+                gelem = None
             outgoing = -lanes.rd
             position = eval_shading_position(flat, inst, gelem, uv_g,
-                                             outgoing)
+                                             outgoing, rows=rows)
             normal = eval_shading_normal(flat, inst, gelem, uv_g, outgoing,
-                                         features=feat)
-            material = eval_material(flat, inst, gelem, uv_g, features=feat)
+                                         features=feat, rows=rows)
+            material = eval_material(flat, inst, gelem, uv_g, features=feat,
+                                     rows=rows)
             if params.nocaustics:
                 material = material._replace(roughness=jnp.maximum(
                     material.roughness, lanes.max_rough))
@@ -1396,11 +1421,17 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
 
         def emission_at(flat, direction, hit, inst_g, elem_g, uv_g):
             inst = jnp.maximum(inst_g, 0)
-            shape = flat.inst_shape[inst]
-            gelem = flat.shape_elem_start[shape] + jnp.maximum(elem_g, 0)
-            mat = eval_material(flat, inst, gelem, uv_g, features=feat)
+            elem_l = jnp.maximum(elem_g, 0)
+            rows = gather_surface_rows(flat, inst, elem_l)
+            if rows is None:
+                shape = flat.inst_shape[inst]
+                gelem = flat.shape_elem_start[shape] + elem_l
+            else:
+                gelem = None
+            mat = eval_material(flat, inst, gelem, uv_g, features=feat,
+                                rows=rows)
             nrm = eval_shading_normal(flat, inst, gelem, uv_g, -direction,
-                                      features=feat)
+                                      features=feat, rows=rows)
             em = B.eval_emission(mat, nrm, -direction)
             if flat.env_frame.shape[0] > 0:
                 env = eval_environment(flat, direction)
@@ -1498,7 +1529,7 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 crossed = (M.dot(normal, outgoing)
                            * M.dot(normal, incoming)) < 0.0
                 vol_change = shade_m & alive & crossed \
-                    & is_volumetric_instance(flat, inst)
+                    & is_volumetric_type(material.type)
                 push = vol_change & (lanes.vol_depth == 0)
                 pop = vol_change & (lanes.vol_depth > 0)
                 cap = VOLUME_STACK_CAP
