@@ -115,3 +115,79 @@ def test_overlap_scene_closest_point():
     # tight radius: far points must miss
     far = overlap_scene_bruteforce(flat, pts + 100.0, 1.0)
     assert not np.asarray(far.hit).any()
+
+
+def test_overlap_bvh_matches_bruteforce():
+    """BVH-accelerated overlap (make_bvh_overlap) vs brute force on a
+    scene with a scaled/rotated instance: same hit/instance/element/uv/
+    distance up to exact-distance ties (yocto_bvh.cpp:638-781)."""
+    import jax.numpy as jnp
+    from yocto_tpu.trace.bvh import build_scene_bvh, make_bvh_overlap
+    from yocto_tpu.trace.compile import compile_scene
+    from yocto_tpu.trace.intersect import overlap_scene_bruteforce
+
+    scene_host = make_cornellbox()
+    th = 0.7
+    rot = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32) * 0.6
+    scene_host.instances.append(InstanceData(
+        frame=np.concatenate([rot, np.array([[0.3, 0.4, 0.1]], np.float32)]),
+        shape=5, material=5))
+    scene_host.instance_names.append("extra")
+    flat = compile_scene(scene_host)
+    bvh = build_scene_bvh(scene_host)
+    overlap = make_bvh_overlap(bvh, unroll=1, kinds=(3,))
+
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray((rng.rand(256, 3).astype(np.float32) - 0.5) * 2.4
+                      + np.array([0, 1, 0], np.float32))
+    for dmax in (10.0, 0.35):
+        a = overlap_scene_bruteforce(flat, pts, dmax)
+        b = overlap(flat, pts, dmax)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        np.testing.assert_allclose(np.asarray(a.distance),
+                                   np.asarray(b.distance), rtol=1e-5)
+        same = (np.asarray(a.instance) == np.asarray(b.instance)) \
+            & (np.asarray(a.element) == np.asarray(b.element))
+        tie = np.isclose(np.asarray(a.distance), np.asarray(b.distance),
+                         rtol=1e-5)
+        assert np.all(same | tie)
+        np.testing.assert_allclose(np.asarray(a.uv)[same],
+                                   np.asarray(b.uv)[same],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_overlap_bvh_scaling_smoke():
+    """Node culling must visit far fewer nodes than the tree holds: on a
+    many-instance scene the walk terminates well under the brute-force
+    candidate count and answers match brute force."""
+    import jax.numpy as jnp
+    from yocto_tpu.models.examples import make_cornellbox
+    from yocto_tpu.models.procedural import make_sphere
+    from yocto_tpu.models.scene import SceneData, InstanceData, MaterialData
+    from yocto_tpu.trace.bvh import build_scene_bvh, make_bvh_overlap
+    from yocto_tpu.trace.compile import compile_scene
+    from yocto_tpu.trace.intersect import overlap_scene_bruteforce
+
+    scene = SceneData()
+    scene.shapes.append(make_sphere(steps=8, scale=0.08))
+    scene.shape_names.append("s")
+    scene.materials.append(MaterialData())
+    scene.material_names.append("m")
+    rng = np.random.RandomState(3)
+    for i in range(64):
+        frame = np.concatenate(
+            [np.eye(3, dtype=np.float32),
+             rng.uniform(-1, 1, (1, 3)).astype(np.float32)])
+        scene.instances.append(InstanceData(frame=frame, shape=0,
+                                            material=0))
+        scene.instance_names.append(f"i{i}")
+    flat = compile_scene(scene)
+    bvh = build_scene_bvh(scene)
+    overlap = make_bvh_overlap(bvh, unroll=1, kinds=(3,))
+    pts = jnp.asarray(rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+    a = overlap_scene_bruteforce(flat, pts, 0.5)
+    b = overlap(flat, pts, 0.5)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_allclose(np.asarray(a.distance),
+                               np.asarray(b.distance), rtol=1e-5)

@@ -41,6 +41,9 @@ def main(argv=None):
     cli.add_argument("--output", default="out.png", help="Output image.")
     cli.add_argument("--params", default="", help="params filename")
     cli.add_argument("--dumpparams", default="", help="dump params filename")
+    cli.add_argument("--interactive", action="store_true",
+                     help="open the web editor (apps/ycolorgrade.cpp:50-150)")
+    cli.add_argument("--port", type=int, default=8080)
     args = cli.parse_args(argv)
 
     params = ColorgradeParams()
@@ -52,6 +55,11 @@ def main(argv=None):
     with SimpleTimer("load image"):
         pixels, linear = load_image(args.image)
     image = ImageData(pixels.shape[1], pixels.shape[0], linear, pixels)
+    if args.interactive:
+        from .igrade import serve_grade
+        serve_grade(image.pixels, image.linear, port=args.port,
+                    title="ycolorgrade")
+        return 0
     graded = colorgrade_image(image, params)
     with SimpleTimer("save image"):
         save_image(args.output, graded.pixels, linear=False)

@@ -18,6 +18,9 @@ def main(argv=None):
     cli.add_argument("--filmic", action="store_true")
     cli.add_argument("--width", type=int, default=0)
     cli.add_argument("--height", type=int, default=0)
+    cli.add_argument("--interactive", action="store_true",
+                     help="open the web editor (apps/ytonemap.cpp:60-125)")
+    cli.add_argument("--port", type=int, default=8080)
     args = cli.parse_args(argv)
 
     with SimpleTimer("load image"):
@@ -25,6 +28,11 @@ def main(argv=None):
     image = ImageData(pixels.shape[1], pixels.shape[0], linear, pixels)
     if args.width or args.height:
         image = resize_image(image, args.width, args.height)
+    if args.interactive:
+        from .igrade import serve_grade
+        serve_grade(image.pixels, image.linear, port=args.port,
+                    tonemap_only=True, title="ytonemap")
+        return 0
     if image.linear and not is_hdr_filename(args.output):
         image = tonemap_image(image, args.exposure, args.filmic)
     with SimpleTimer("save image"):

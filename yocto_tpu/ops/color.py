@@ -321,3 +321,49 @@ def colorgrade(color, linear, params: ColorgradeParams):
     if has_alpha:
         return jnp.concatenate([rgb, color[..., 3:]], axis=-1)
     return rgb
+
+
+def colorgrade_params_vector(params: ColorgradeParams) -> np.ndarray:
+    """Pack the numeric grading controls into one f32[21] vector for the
+    traced chain (interactive editors re-grade per edit without
+    retracing; filmic/srgb stay static booleans)."""
+    return np.asarray(
+        [params.exposure, *params.tint, params.lincontrast,
+         params.logcontrast, params.linsaturation, params.contrast,
+         params.saturation, params.shadows, params.midtones,
+         params.highlights, *params.shadows_color, *params.midtones_color,
+         *params.highlights_color], np.float32)
+
+
+def colorgrade_dynamic(color, linear, vec, filmic=False, srgb=True):
+    """`colorgrade` with every numeric control as traced DATA
+    (vec = colorgrade_params_vector(params)). Applies every step
+    unconditionally — each step is the identity at its default value —
+    so ONE compile serves every slider position (the interactive
+    editors\' path; yocto_color.h:571-603 semantics)."""
+    has_alpha = color.shape[-1] == 4
+    rgb = color[..., :3]
+    rgb = rgb * jnp.exp2(vec[0])
+    rgb = rgb * vec[1:4]
+    rgb = lincontrast(rgb, vec[4], 0.18 if linear else 0.5)
+    rgb = logcontrast(rgb, vec[5], 0.18 if linear else 0.5)
+    rgb = saturate(rgb, vec[6])
+    if filmic:
+        rgb = tonemap_filmic(rgb)
+    if linear and srgb:
+        rgb = rgb_to_srgb(rgb)
+    rgb = contrast(rgb, vec[7])
+    rgb = saturate(rgb, vec[8])
+    # shadows/midtones/highlights lift-gamma-gain (yocto_color.h:594-603)
+    lift = vec[12:15] - vec[12:15].mean() + vec[9] - 0.5
+    gn = vec[18:21] - vec[18:21].mean() + vec[11] + 0.5
+    grey = vec[15:18] - vec[15:18].mean() + vec[10]
+    span = jnp.where(gn - lift == 0.0, 1.0, gn - lift)
+    gamma = (jnp.log(jnp.maximum((0.5 - lift) / span, 1e-12))
+             / jnp.log(jnp.maximum(grey, 1e-12)))
+    lerp_value = jnp.clip(
+        jnp.power(jnp.maximum(rgb, 0.0), 1.0 / gamma), 0.0, 1.0)
+    rgb = gn * lerp_value + lift * (1.0 - lerp_value)
+    if has_alpha:
+        return jnp.concatenate([rgb, color[..., 3:]], axis=-1)
+    return rgb

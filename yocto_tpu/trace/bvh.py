@@ -134,6 +134,7 @@ def _prim_row(pos, rad, v, order, elem_off):
     rows[:, 12] = rad[v[:, 0]]
     rows[:, 13] = rad[v[:, 1]]
     rows[:, 14] = (order.astype(np.int32) + elem_off).view(np.float32)
+    rows[:, 15] = rad[v[:, 2]]  # r2: overlap queries interpolate radii
     return rows
 
 
@@ -458,3 +459,188 @@ def make_bvh_intersector(bvh: FlatBvh, find_any: bool = False,
         return result
 
     return intersect
+
+
+# ----------------------------------------------------------------------------
+# Point-overlap queries (yocto_bvh.cpp:638-781)
+# ----------------------------------------------------------------------------
+
+class _OverlapState(NamedTuple):
+    cur: jax.Array        # [R] i32 current node (combined table); -1 = done
+    o_resume: jax.Array   # [R] i32 outer node to resume after the instance
+    cur_inst: jax.Array   # [R] i32; -1 = world space
+    kind: jax.Array       # [R] i32 current shape kind
+    lp: jax.Array         # [R,3] active-space query point
+    dmax: jax.Array       # [R] shrinking closest-mode search radius
+    hit: jax.Array
+    inst: jax.Array
+    elem: jax.Array       # global element id
+    uv: jax.Array
+    dist: jax.Array       # [R] closest distance found
+    wp: jax.Array         # [R,3] world point (self-contained state)
+    it: jax.Array
+
+
+def _prim_overlap(lp, dmax, row, kind, kinds=None):
+    """Point-overlap of one packed primitive slot per lane (row: [...,16]).
+
+    Matches overlap_scene_bruteforce's element dispatch (reference
+    overlap_point/line/quad, yocto_geometry.h:874-1010). Quads reuse r2
+    for the fourth corner radius (the packed row has no free slot);
+    radius-bearing true quads do not occur in practice — triangles pack
+    v3 == v2, so their r3 == r2 is exact."""
+    p0 = row[..., 0:3]
+    p1 = row[..., 3:6]
+    p2 = row[..., 6:9]
+    p3 = row[..., 9:12]
+    r0 = row[..., 12]
+    r1 = row[..., 13]
+    r2 = row[..., 15]
+    if kinds is None:
+        kinds = (KIND_POINTS, KIND_LINES, KIND_TRIANGLES, KIND_QUADS)
+    has_surface = (KIND_TRIANGLES in kinds) or (KIND_QUADS in kinds)
+    hit = uv = dist = None
+    if has_surface:
+        o = G.overlap_quad(lp, dmax, p0, p1, p2, p3, r0, r1, r2, r2)
+        hit, uv, dist = o.hit, o.uv, o.distance
+    if KIND_LINES in kinds:
+        ol = G.overlap_line(lp, dmax, p0, p1, r0, r1)
+        if hit is None:
+            hit, uv, dist = ol.hit, ol.uv, ol.distance
+        else:
+            is_line = kind == KIND_LINES
+            hit = jnp.where(is_line, ol.hit, hit)
+            uv = jnp.where(is_line[..., None], ol.uv, uv)
+            dist = jnp.where(is_line, ol.distance, dist)
+    if KIND_POINTS in kinds:
+        op = G.overlap_point(lp, dmax, p0, r0)
+        if hit is None:
+            hit, uv, dist = op.hit, op.uv, op.distance
+        else:
+            is_pt = kind == KIND_POINTS
+            hit = jnp.where(is_pt, op.hit, hit)
+            uv = jnp.where(is_pt[..., None], op.uv, uv)
+            dist = jnp.where(is_pt, op.distance, dist)
+    return hit, uv, dist
+
+
+def overlap_init(pos, dist_max) -> _OverlapState:
+    R = pos.shape[0]
+    return _OverlapState(
+        cur=jnp.zeros(R, jnp.int32),
+        o_resume=jnp.full(R, -1, jnp.int32),
+        cur_inst=jnp.full(R, -1, jnp.int32),
+        kind=jnp.zeros(R, jnp.int32),
+        lp=pos,
+        dmax=jnp.broadcast_to(jnp.asarray(dist_max, jnp.float32), (R,)),
+        hit=jnp.zeros(R, bool),
+        inst=jnp.full(R, -1, jnp.int32),
+        elem=jnp.full(R, -1, jnp.int32),
+        uv=jnp.zeros((R, 2), jnp.float32),
+        dist=jnp.full(R, M.flt_max, jnp.float32),
+        wp=pos,
+        it=jnp.zeros((), jnp.int32))
+
+
+def make_overlap_step(bvh: FlatBvh, kinds=None):
+    """One node-step of the threaded two-level point-overlap walk
+    (overlap_scene_bvh, yocto_bvh.cpp:638-781): nodes are culled when the
+    query point is farther than the shrinking search radius from the node
+    bbox; instance leaves transform the point with the non-rigid inverse
+    and distances compare in local space, exactly like the reference (and
+    overlap_scene_bruteforce)."""
+
+    def step(st: _OverlapState) -> _OverlapState:
+        wp = st.wp
+        inner = st.cur_inst >= 0
+        live = st.cur >= 0
+
+        # ---- gather 1: current node; cull by point-to-bbox distance
+        row = bvh.nodes[jnp.maximum(st.cur, 0)]
+        skip = _i32(row[..., 6])
+        meta = _i32(row[..., 7])
+        cl = jnp.clip(st.lp, row[..., 0:3], row[..., 3:6])
+        d2 = M.dot(st.lp - cl, st.lp - cl)
+        bhit = live & (d2 <= st.dmax * st.dmax)
+        is_leaf = meta >= 0
+
+        # ---- gather 2: leaf primitive block (inner leaves only)
+        s_at_leaf = bhit & is_leaf & inner
+        leaf_id = meta >> 3
+        leaf_num = meta & 7
+        block = bvh.leaves[jnp.clip(leaf_id, 0, bvh.leaves.shape[0] - 1)]
+        hit, inst_b, elem_b, uv_b = st.hit, st.inst, st.elem, st.uv
+        dmax_r, dist_r = st.dmax, st.dist
+        for k in range(HB.BVH_MAX_PRIMS):
+            prow = block[..., 16 * k:16 * (k + 1)]
+            in_leaf = s_at_leaf & (k < leaf_num)
+            ohit, ouv, odist = _prim_overlap(st.lp, dmax_r, prow,
+                                             st.kind, kinds=kinds)
+            take = in_leaf & ohit
+            hit = hit | take
+            inst_b = jnp.where(take, st.cur_inst, inst_b)
+            elem_b = jnp.where(take, _i32(prow[..., 14]), elem_b)
+            uv_b = jnp.where(take[:, None], ouv, uv_b)
+            dist_r = jnp.where(take, odist, dist_r)
+            # closest mode: shrink the search radius to each found hit
+            # (yocto_bvh.cpp:724-728)
+            dmax_r = jnp.where(take, odist, dmax_r)
+
+        # ---- gather 3: instance row (outer leaves only)
+        enter = bhit & is_leaf & ~inner
+        new_inst = jnp.where(enter, meta, st.cur_inst)
+        irow = bvh.inst_rows[jnp.clip(
+            jnp.where(enter, meta, 0), 0, bvh.inst_rows.shape[0] - 1)]
+        nlp = (wp[..., 0:1] * irow[..., 0:3]
+               + wp[..., 1:2] * irow[..., 3:6]
+               + wp[..., 2:3] * irow[..., 6:9] + irow[..., 9:12])
+        lp = jnp.where(enter[:, None], nlp, st.lp)
+        kind = jnp.where(enter, _i32(irow[..., 13]), st.kind)
+        root = _i32(irow[..., 12])
+
+        # ---- cursor update
+        descend = bhit & ~is_leaf
+        nxt = jnp.where(descend, jnp.maximum(st.cur, 0) + 1, skip)
+        nxt = jnp.where(enter, root, nxt)
+        nxt = jnp.where(s_at_leaf, skip, nxt)
+        inner_exit = inner & (nxt < 0)
+        nxt = jnp.where(inner_exit, st.o_resume, nxt)
+        cur_inst = jnp.where(inner_exit, -1, new_inst)
+        lp = jnp.where(inner_exit[:, None], wp, lp)
+        o_resume = jnp.where(enter, skip, st.o_resume)
+        nxt = jnp.where(live, nxt, st.cur)
+
+        return _OverlapState(
+            cur=nxt, o_resume=o_resume, cur_inst=cur_inst, kind=kind,
+            lp=lp, dmax=dmax_r, hit=hit, inst=inst_b, elem=elem_b,
+            uv=uv_b, dist=dist_r, wp=wp, it=st.it + 1)
+
+    return step
+
+
+def make_bvh_overlap(bvh: FlatBvh, unroll: int = 4, kinds=None):
+    """Batched closest-point overlap(scene, pos, dist_max) ->
+    SceneIntersection with BVH node culling (the accelerated equivalent
+    of overlap_scene_bruteforce; overlap_scene_bvh semantics,
+    yocto_bvh.cpp:638-781)."""
+    step = make_overlap_step(bvh, kinds=kinds)
+
+    def overlap(scene: FlatScene, pos, dist_max):
+        st = overlap_init(pos, dist_max)
+
+        def body(st: _OverlapState) -> _OverlapState:
+            for _ in range(unroll):
+                st = step(st)
+            return st
+
+        st = jax.lax.while_loop(lambda s: jnp.any(s.cur >= 0), body, st)
+        shape = scene.inst_shape[jnp.maximum(st.inst, 0)]
+        elem_local = st.elem - scene.shape_elem_start[shape]
+        return SceneIntersection(
+            hit=st.hit,
+            instance=jnp.where(st.hit, st.inst, -1),
+            element=jnp.where(st.hit, elem_local, -1),
+            uv=jnp.where(st.hit[:, None], st.uv, 0.0),
+            distance=jnp.where(st.hit, st.dist, M.flt_max))
+
+    return overlap

@@ -59,7 +59,10 @@ from .compile import KIND_LINES, KIND_POINTS, KIND_QUADS
 from .intersect import RAY_EPS, SceneIntersection
 from .pallas_intersect import _i32
 
-CLUSTER = 256        # candidates per cluster (= sweep block width)
+CLUSTER = 512        # candidates per cluster (= sweep block width):
+                     # round-3 sweep on features1 (444k cands) measured
+                     # camera isect 111 -> 63 ms and bounce 247 -> 208 ms
+                     # vs 256 (fewer slot visits + half the cull/sort)
 RAY_TILE = 64        # rays per tile (= sweep block height)
 CLUSTER_CHUNK = 128  # clusters per stage-2 XLA chunk (bounds temporaries)
 BBOX_EPS = 1.00000024  # reference slab-test epsilon (yocto_geometry.h)
