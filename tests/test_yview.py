@@ -87,3 +87,34 @@ def test_viewer_http_roundtrip():
         server.shutdown()
         from yocto_tpu.trace.progressive import trace_cancel
         trace_cancel(viewer.ctx)
+
+
+def test_viewer_material_edit():
+    """Scene-edit surface: a material emission edit round-trips through
+    cancel -> preview -> restart and shows up in the next frame
+    (apps/ytrace.cpp:233-247 edit contract)."""
+    from yocto_tpu.apps.yview import ViewerServer
+    from yocto_tpu.trace.progressive import trace_cancel
+
+    scene = make_cornellbox()
+    v = ViewerServer(scene, _params())
+    try:
+        seq, _, _ = v.frame(-1, timeout=60.0)
+
+        info = v.scene_summary()
+        assert info["materials"] and info["cameras"]
+        idx = next(i for i, m in enumerate(info["materials"])
+                   if m["type"] == "matte" and sum(m["emission"]) == 0)
+
+        v.command({"material": {"index": idx, "color": [0.9, 0.1, 0.1],
+                                "emission": [4.0, 4.0, 4.0],
+                                "roughness": 0.3}})
+        assert np.allclose(scene.materials[idx].emission, 4.0)
+        assert scene.materials[idx].roughness == 0.3
+        # the edit reaches the re-flattened scene (preview or restart frame)
+        seq2, _, _ = v.frame(seq, timeout=60.0)
+        assert seq2 != seq
+        info2 = v.scene_summary()
+        assert info2["materials"][idx]["emission"] == [4.0, 4.0, 4.0]
+    finally:
+        trace_cancel(v.ctx)

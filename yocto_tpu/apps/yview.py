@@ -104,9 +104,39 @@ input,select{width:160px}</style></head><body>
   <label>exposure <input id=exposure type=range min=-4 max=4 step=0.1
      value=0></label>
   <button id=apply>apply</button>
+  <hr><b>material</b>
+  <label><select id=mat></select></label>
+  <label>color <input id=mcolor placeholder="r g b"></label>
+  <label>emission <input id=memission placeholder="r g b"></label>
+  <label>roughness <input id=mrough type=number step=0.05></label>
+  <label>metallic <input id=mmetal type=number step=0.05></label>
+  <button id=mapply>apply material</button>
   <p>drag: orbit - shift-drag: pan - wheel: dolly</p>
 </div><script>
 const img=document.getElementById('img'),stat=document.getElementById('stat');
+let sceneInfo=null;
+async function loadScene(){
+  sceneInfo=await (await fetch('/scene')).json();
+  const sel=document.getElementById('mat');
+  sel.innerHTML=sceneInfo.materials.map(
+    m=>`<option value=${m.index}>${m.name}</option>`).join('');
+  sel.onchange=fillMat;fillMat();
+}
+function fillMat(){
+  const m=sceneInfo.materials[+document.getElementById('mat').value||0];
+  if(!m)return;
+  document.getElementById('mcolor').value=m.color.join(' ');
+  document.getElementById('memission').value=m.emission.join(' ');
+  document.getElementById('mrough').value=m.roughness;
+  document.getElementById('mmetal').value=m.metallic;
+}
+document.getElementById('mapply').onclick=()=>{
+  const v=id=>document.getElementById(id).value;
+  send({material:{index:+v('mat'),
+    color:v('mcolor').split(/\\s+/).map(Number),
+    emission:v('memission').split(/\\s+/).map(Number),
+    roughness:+v('mrough'),metallic:+v('mmetal')}}).then(loadScene);};
+loadScene();
 let seq=-1;
 async function poll(){
   try{
@@ -244,6 +274,58 @@ class ViewerServer:
                 if key in p:
                     setattr(self.params, key, int(p[key]))
             self._restart()
+        elif "material" in cmd:
+            self._edit_material(cmd["material"])
+        elif "environment" in cmd:
+            self._edit_environment(cmd["environment"])
+
+    # -- scene edits (the reference trace GUI edits materials/cameras/
+    #    environments live and restarts the render: apps/ytrace.cpp:233-247,
+    #    yocto_gui.h:218-330). make_trace_context re-flattens the mutated
+    #    SceneData, so one cancel->preview->restart round-trips the edit.
+    def _edit_material(self, edit: dict):
+        from ..models.scene import MaterialType
+        mat = self.scene.materials[int(edit["index"])]
+        if "type" in edit:
+            mat.type = MaterialType[edit["type"]]
+        for key in ("color", "emission", "scattering"):
+            if key in edit:
+                setattr(mat, key, np.asarray(edit[key], np.float32))
+        for key in ("roughness", "metallic", "ior", "opacity", "trdepth",
+                    "scanisotropy"):
+            if key in edit:
+                setattr(mat, key, float(edit[key]))
+        self._restart()
+
+    def _edit_environment(self, edit: dict):
+        env = self.scene.environments[int(edit["index"])]
+        if "emission" in edit:
+            env.emission = np.asarray(edit["emission"], np.float32)
+        self._restart()
+
+    def scene_summary(self) -> dict:
+        """JSON-able edit surface: what the sidebar's scene panel shows."""
+        def name(names, i, kind):
+            return names[i] if i < len(names) else f"{kind}{i}"
+        mats = []
+        for i, m in enumerate(self.scene.materials):
+            mats.append({
+                "index": i,
+                "name": name(self.scene.material_names, i, "material"),
+                "type": m.type.name,
+                "color": np.asarray(m.color, np.float32).tolist(),
+                "emission": np.asarray(m.emission, np.float32).tolist(),
+                "roughness": float(m.roughness),
+                "metallic": float(m.metallic),
+                "opacity": float(m.opacity)})
+        envs = []
+        for i, e in enumerate(self.scene.environments):
+            envs.append({
+                "index": i,
+                "name": name(self.scene.environment_names, i, "env"),
+                "emission": np.asarray(e.emission, np.float32).tolist()})
+        return {"materials": mats, "environments": envs,
+                "cameras": list(self.scene.camera_names)}
 
     def page(self):
         return (_PAGE.replace("RES", str(self.params.resolution))
@@ -276,6 +358,13 @@ def serve(scene, params, port: int = 8080, open_browser: bool = False):
                 self.send_header("Content-Length", str(len(png)))
                 self.end_headers()
                 self.wfile.write(png)
+            elif self.path.startswith("/scene"):
+                body = json.dumps(viewer.scene_summary()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 body = viewer.page().encode()
                 self.send_response(200)
