@@ -111,7 +111,11 @@ def shard_scene(scene: SceneData, ndev: int):
             sub.instances.append(InstanceData(
                 frame=np.asarray(inst.frame, np.float32),
                 shape=shape_map[inst.shape], material=inst.material))
-        shard_flats.append(compile_scene(sub))
+        # strip the gather-join caches: the ring intersector reads the raw
+        # SoA fields only, and empty shards build no cand_attrs at all
+        # (None), which would break the cross-shard stacking below
+        shard_flats.append(compile_scene(sub)._replace(
+            cand_attrs=None, tex_quad=None, inst_cand_start=None))
         shard_gids.append(np.asarray(buckets[d], np.int64)
                           if buckets[d] else np.zeros(1, np.int64))
 
@@ -132,7 +136,26 @@ def shard_scene(scene: SceneData, ndev: int):
     # and would alias (instance 0, element 0) without the validity mask
     ncand = jnp.asarray([[int(f.cand_inst.shape[0])]
                          for f in shard_flats], jnp.int32)
-    return stacked, gids, ncand
+
+    # world bbox per shard for ring early-exit culling (empty shard ->
+    # inverted box that fails every slab test)
+    bboxes = np.empty((ndev, 2, 3), np.float32)
+    bboxes[:, 0] = M.flt_max
+    bboxes[:, 1] = -M.flt_max
+    for d in range(ndev):
+        for gi in buckets[d]:
+            inst = scene.instances[gi]
+            shp = scene.shapes[inst.shape]
+            pos = np.asarray(shp.positions, np.float32).reshape(-1, 3)
+            if not len(pos):
+                continue
+            frame = np.asarray(inst.frame, np.float32)
+            pw = pos @ frame[:3] + frame[3]
+            rad = np.asarray(shp.radius, np.float32)
+            pad = float(rad.max()) if len(rad) else 0.0
+            bboxes[d, 0] = np.minimum(bboxes[d, 0], pw.min(0) - pad)
+            bboxes[d, 1] = np.maximum(bboxes[d, 1], pw.max(0) + pad)
+    return stacked, gids, ncand, jnp.asarray(bboxes)
 
 
 def _local_deferred_intersect(flat: FlatScene, gids, ncand, ro, rd,
@@ -192,19 +215,40 @@ def _local_deferred_intersect(flat: FlatScene, gids, ncand, ro, rd,
 
 
 def make_sharded_intersector(mesh: Mesh, stacked_flat, gids, ncand,
-                             kinds=None, axis: str = "tiles"):
+                             bboxes=None, kinds=None, axis: str = "tiles"):
     """Returns intersect(ro, rd) -> DeferredHit over the mesh.
 
     `ro`/`rd` are [R,3] with R divisible by the mesh size; rays and their
     running best hit ride the ring via ppermute while the geometry stays
     put. The result lands back on each ray's home device.
+
+    With per-shard world `bboxes` [D, 2, 3] (from shard_scene) the ring
+    EARLY-EXITS: after each hop every device slab-tests its current rays
+    against the bboxes of the shards those rays have yet to visit; once no
+    lane anywhere could still find a nearer hit (psum'd across the mesh,
+    so the trip count stays uniform), the intersect rounds stop and only
+    cheap ppermute hops carry the best records back to their home devices.
+    This is the live-lane analogue of ordered BVH traversal with tmax
+    shrink (yocto_bvh.cpp:460-552) lifted to the ring: spatially separated
+    shards drop whole rounds of intersection work. The round count of the
+    last call is exposed as `intersect.last_rounds`.
     """
     ndev = mesh.devices.size
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    if bboxes is None:
+        # unknown extents: everything always improvable -> full D rounds
+        box_tab = jnp.broadcast_to(
+            jnp.asarray([[-M.flt_max] * 3, [M.flt_max] * 3], jnp.float32),
+            (ndev, 2, 3))
+    else:
+        box_tab = jnp.asarray(bboxes, jnp.float32)
 
     def local(flat_slice, gids_slice, ncand_slice, ro, rd):
         return _local_deferred_intersect(flat_slice, gids_slice,
                                          ncand_slice, ro, rd, kinds=kinds)
+
+    def _pp(x):
+        return jax.lax.ppermute(x, axis, perm)
 
     def ring(flat_slice, gids_slice, ncand_slice, ro, rd):
         # shard_map slices carry a leading [1, ...] device axis
@@ -212,15 +256,58 @@ def make_sharded_intersector(mesh: Mesh, stacked_flat, gids, ncand,
         gids_slice = gids_slice[0]
         ncand_slice = ncand_slice[0]
         best = _miss_hit(ro.shape[0])
-        for _ in range(ndev):
+        if ndev == 1:
+            best = _merge(best, local(flat_slice, gids_slice, ncand_slice,
+                                      ro, rd))
+            return best, jnp.ones((1,), jnp.int32)
+
+        me = jax.lax.axis_index(axis)
+
+        def can_improve(ro, rd, best, k):
+            """Any lane on this device that could still find a nearer hit
+            in one of its D-k unvisited shards (ring order me, me+1, ...)."""
+            rinv = 1.0 / jnp.where(rd == 0.0, 1e-38, rd)
+            n = ro.shape[0]
+            any_can = jnp.zeros(n, bool)
+            for j in range(ndev):  # static unroll, masked by j < D-k
+                sb = box_tab[(me + j) % ndev]
+                t0 = jnp.full(n, RAY_EPS, jnp.float32)
+                t1 = best.dist
+                for a in range(3):
+                    ta = (sb[0, a] - ro[:, a]) * rinv[:, a]
+                    tb = (sb[1, a] - ro[:, a]) * rinv[:, a]
+                    t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+                    t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+                ok = ((t0 <= t1 * 1.00000024) & (t0 < best.dist)
+                      & (j < ndev - k))
+                any_can = any_can | ok
+            return any_can
+
+        def cond(carry):
+            ro, rd, best, k = carry
+            can = can_improve(ro, rd, best, k)
+            total = jax.lax.psum(jnp.sum(can.astype(jnp.int32)), axis)
+            return (k < ndev) & (total > 0)
+
+        def body(carry):
+            ro, rd, best, k = carry
             mine = local(flat_slice, gids_slice, ncand_slice, ro, rd)
             best = _merge(best, mine)
-            if ndev > 1:
-                ro = jax.lax.ppermute(ro, axis, perm)
-                rd = jax.lax.ppermute(rd, axis, perm)
-                best = jax.tree.map(
-                    lambda a: jax.lax.ppermute(a, axis, perm), best)
-        return best
+            ro, rd = _pp(ro), _pp(rd)
+            best = jax.tree.map(_pp, best)
+            return ro, rd, best, k + 1
+
+        ro, rd, best, k = jax.lax.while_loop(
+            cond, body, (ro, rd, best, jnp.int32(0)))
+
+        # early exit leaves best k-rotated; finish the rotation with
+        # communication-only hops so records land on their home devices
+        def home(carry):
+            best, j = carry
+            return jax.tree.map(_pp, best), j + 1
+
+        best, _ = jax.lax.while_loop(lambda c: c[1] < ndev, home, (best, k))
+        return best, jnp.broadcast_to(k, (1,))
 
     sharded = P(axis)
     rep_scene = jax.tree.map(lambda _: P(axis), stacked_flat)
@@ -228,12 +315,16 @@ def make_sharded_intersector(mesh: Mesh, stacked_flat, gids, ncand,
     fn = jax.jit(shard_map(
         ring, mesh=mesh,
         in_specs=(rep_scene, P(axis), P(axis), sharded, sharded),
-        out_specs=jax.tree.map(lambda _: sharded, _miss_hit(1)),
+        out_specs=(jax.tree.map(lambda _: sharded, _miss_hit(1)),
+                   P(axis)),
         check_rep=False))
 
     def intersect(ro, rd):
-        return fn(stacked_flat, gids, ncand, ro, rd)
+        best, rounds = fn(stacked_flat, gids, ncand, ro, rd)
+        intersect.last_rounds = rounds  # [ndev] i32, identical entries
+        return best
 
+    intersect.last_rounds = None
     return intersect
 
 
@@ -263,9 +354,10 @@ class ShardedRenderer:
         self.scene_host = scene
         ndev = self.mesh.devices.size
         self.features = scene_features(scene)
-        stacked, gids, ncand = shard_scene(scene, ndev)
+        stacked, gids, ncand, bboxes = shard_scene(scene, ndev)
         self.intersect = make_sharded_intersector(
-            self.mesh, stacked, gids, ncand, kinds=self.features.kinds)
+            self.mesh, stacked, gids, ncand, bboxes=bboxes,
+            kinds=self.features.kinds)
         self.shade_flat = compile_scene(scene)
         self.width, self.height = render_size(scene, params)
         n = self.width * self.height
