@@ -354,3 +354,90 @@ class TestBvhIntersector:
         assert np.isfinite(ad)
         scale = max(abs(fd), abs(ad), 1e-3)
         assert abs(ad - fd) / scale < rtol, (field, idx, ad, fd)
+
+
+# ---------------------------------------------------------------------------
+# shadow (secondary-bounce) silhouette gradients: the occluder is OUTSIDE
+# the camera frustum, so only its moving SHADOW changes the image
+# ---------------------------------------------------------------------------
+
+def _shadow_scene():
+    """Floor seen from a camera beneath the occluder: moving the occluder
+    changes the image ONLY through its shadow (one indirect bounce). The
+    primary-visibility edge term is blind to it; the shadow edge term
+    must recover the full gradient."""
+    from yocto_tpu.models.scene import CameraData, SceneData
+    from yocto_tpu.models.shape import ShapeData
+
+    def quad(pts):
+        return ShapeData(
+            positions=np.asarray(pts, np.float32),
+            quads=np.array([[0, 1, 2, 3]], np.int32))
+
+    scene = SceneData()
+    # camera at (0, 1.2, 0) looking straight down, below the occluder
+    scene.cameras.append(CameraData(
+        frame=np.array([[-1, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1.2, 0]],
+                       np.float32),
+        lens=0.05, film=0.036, aspect=1.0, focus=1.2))
+    scene.materials.append(MaterialData(
+        color=np.array([0.7, 0.7, 0.7], np.float32)))        # floor
+    scene.materials.append(MaterialData(
+        emission=np.array([10.0, 10.0, 10.0], np.float32)))  # light
+    scene.materials.append(MaterialData(
+        color=np.array([0.05, 0.05, 0.05], np.float32)))     # occluder
+    # floor at y=0 (verts 0-3)
+    scene.shapes.append(quad([[-1, 0, -1], [1, 0, -1],
+                              [1, 0, 1], [-1, 0, 1]]))
+    scene.instances.append(InstanceData(shape=0, material=0))
+    # rect area light at y=4 (verts 4-7)
+    scene.shapes.append(quad([[-0.3, 4, -0.3], [0.3, 4, -0.3],
+                              [0.3, 4, 0.3], [-0.3, 4, 0.3]]))
+    scene.instances.append(InstanceData(shape=1, material=1))
+    # occluder sheet at y=2 covering x<0; its right edge (x=0) casts the
+    # penumbra under study onto the floor (verts 8-11; edge verts 9, 10)
+    scene.shapes.append(quad([[-2, 2, -1.5], [0, 2, -1.5],
+                              [0, 2, 1.5], [-2, 2, 1.5]]))
+    scene.instances.append(InstanceData(shape=2, material=2))
+    return scene
+
+
+def test_shadow_silhouette_grad_matches_fd():
+    params = TraceParams(resolution=32, samples=8, bounces=2,
+                         sampler=SamplerType.path)
+    dr = DiffRenderer(_shadow_scene(), params)
+    theta0 = dr.theta()
+    key = jax.random.PRNGKey(7)
+
+    def loss_primary_only(theta):
+        return jnp.mean(dr.render_edges(theta, key,
+                                        theta_sampling=theta0))
+
+    def loss_shadow(theta):
+        return jnp.mean(dr.render_edges(theta, key, theta_sampling=theta0,
+                                        shadow=True))
+
+    g_prim = jax.grad(loss_primary_only)(theta0)
+    g_shad = jax.grad(loss_shadow)(theta0)
+    # occluder right-edge verts are pool positions 9, 10
+    ad_prim = float(np.asarray(g_prim["positions"])[9, 0]
+                    + np.asarray(g_prim["positions"])[10, 0])
+    ad_shad = float(np.asarray(g_shad["positions"])[9, 0]
+                    + np.asarray(g_shad["positions"])[10, 0])
+
+    # finite difference of the real image mean: shift the whole occluder
+    def mean_at(dx):
+        th = {k: np.asarray(v).copy() for k, v in theta0.items()}
+        th["positions"][8:12, 0] += dx
+        th = {k: jnp.asarray(v) for k, v in th.items()}
+        return float(jnp.mean(dr.render(th, theta_sampling=theta0)))
+
+    h = 2e-2
+    fd = (mean_at(h) - mean_at(-h)) / (2 * h)
+    assert np.isfinite(fd) and abs(fd) > 1e-3, fd
+    # the primary-only estimator is blind to the moving shadow
+    assert abs(ad_prim) < 0.25 * abs(fd), (ad_prim, fd)
+    # the shadow edge term recovers it (sign + magnitude)
+    assert np.isfinite(ad_shad)
+    assert np.sign(ad_shad) == np.sign(fd), (ad_shad, fd)
+    assert abs(ad_shad - fd) / abs(fd) < 0.5, (ad_shad, fd)

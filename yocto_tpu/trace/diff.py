@@ -692,13 +692,19 @@ class DiffRenderer:
         return self._render(theta, ts)
 
     def render_edges(self, theta, key, n_samples: int = 4096,
-                     theta_sampling=None):
+                     theta_sampling=None, shadow: bool = False):
         """Edge-aware differentiable render: the interior image plus the
         zero-valued edge-sampling carrier whose gradient is the
         primary-visibility silhouette (boundary) term — the part of
         vertex-position gradients the interior estimator cannot see
-        (trace/diff_edges.py). `key` drives the edge sampler."""
-        from .diff_edges import build_edge_table, make_edge_term
+        (trace/diff_edges.py). `key` drives the edge sampler.
+
+        With `shadow=True` the ONE-INDIRECT-BOUNCE shadow boundary term is
+        added too (moving geometry moves its shadows; see
+        diff_edges.make_shadow_edge_term for the estimator and its v2
+        scope). Requires a planar rect area light in the scene."""
+        from .diff_edges import (build_edge_table, find_rect_light,
+                                 make_edge_term, make_shadow_edge_term)
 
         if getattr(self, "_edge_term", None) is None or \
                 self._edge_nsamples != n_samples:
@@ -719,7 +725,29 @@ class DiffRenderer:
                 edges, params, self.width, self.height, trace_fn,
                 n_samples=n_samples))
             self._edge_nsamples = n_samples
+            self._shadow_term = None
+
+        if shadow and getattr(self, "_shadow_term", None) is None:
+            light = find_rect_light(self.scene_host)
+            if light is None:
+                raise ValueError("shadow edge term needs a planar "
+                                 "rect area light in the scene")
+            kinds = self.features.kinds
+
+            def hit_fn(scene_det, ro, rd):
+                from .intersect import intersect_scene_bruteforce
+                return intersect_scene_bruteforce(scene_det, ro, rd,
+                                                  kinds=kinds)
+
+            self._shadow_term = jax.jit(make_shadow_edge_term(
+                build_edge_table(self.scene_host), light, self.params,
+                self.width, self.height, hit_fn,
+                n_samples=4 * n_samples))
 
         img = self.render(theta, theta_sampling)
         scene_a = inject_theta(self.flat, theta)
-        return img + self._edge_term(scene_a, key)
+        img = img + self._edge_term(scene_a, key)
+        if shadow:
+            img = img + self._shadow_term(
+                scene_a, jax.random.fold_in(key, 101))
+        return img

@@ -19,8 +19,26 @@ surrogate scalar whose jax.grad adds exactly this term, composed with the
 interior vjp through a custom_vjp in DiffRenderer.render_edge_aware.
 
 v1 scope: primary (camera) visibility, pinhole cameras, triangle/quad
-surfaces. Secondary-bounce silhouettes (shadows of moving geometry) are
-documented future work.
+surfaces.
+
+Round 3 adds ONE INDIRECT BOUNCE of the boundary term: SHADOW silhouettes
+(make_shadow_edge_term). Moving geometry also moves the shadows it casts;
+for a receiver y lit by an area light, the visible region of the light is
+bounded by the occluder's silhouette edges projected from y onto the light
+plane, and Reynolds transport gives
+
+    dI(y)/dtheta = oint_curve g(z) (n_hat(z) . dz/dtheta) dl,
+    g(z) = f(y) Le cos_y cos_l / r^2          (the NEE integrand),
+
+with n_hat the in-plane curve normal pointing INTO the blocked region
+(outward of the visible region). The projected curve point
+z(t; theta) = y + (x(t; theta) - y) s is attached through the edge point
+x; everything else is detached.
+
+Shadow-term v2 scope (documented, mirrors the primary term's v1 scoping):
+one planar rect area light (the scene's first single-quad emissive
+instance), matte untextured receivers, no second occluder between the
+sampled edge and the light, static light geometry.
 """
 
 from __future__ import annotations
@@ -235,3 +253,174 @@ def make_edge_term(edges: EdgeTable, params, width, height, trace_fn,
 
 def sg_scene(scene):
     return jax.tree.map(jax.lax.stop_gradient, scene)
+
+
+class RectLight(NamedTuple):
+    """Planar rectangular area light (host-extracted, detached)."""
+
+    c0: np.ndarray   # [3] world corner
+    e1: np.ndarray   # [3] first edge vector (c1 - c0)
+    e2: np.ndarray   # [3] second edge vector (c3 - c0)
+    normal: np.ndarray  # [3] unit plane normal
+    emission: np.ndarray  # [3]
+
+
+def find_rect_light(scene: SceneData):
+    """First emissive single-quad instance as a RectLight, else None."""
+    for inst in scene.instances:
+        mat = scene.materials[inst.material]
+        em = np.asarray(mat.emission, np.float32)
+        shp = scene.shapes[inst.shape]
+        if not np.any(em > 0) or len(shp.quads) != 1:
+            continue
+        frame = np.asarray(inst.frame, np.float32)
+        q = np.asarray(shp.quads[0], np.int64)
+        c = np.asarray(shp.positions, np.float32)[q] @ frame[:3] + frame[3]
+        e1 = c[1] - c[0]
+        e2 = c[3] - c[0]
+        n = np.cross(e1, e2)
+        ln = np.linalg.norm(n)
+        if ln < 1e-12:
+            continue
+        return RectLight(c[0], e1, e2, (n / ln).astype(np.float32), em)
+    return None
+
+
+def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
+                          width, height, hit_fn, n_samples: int = 16384):
+    """Returns shadow_term(scene_attached, key) -> [H,W,3] zero-valued
+    carrier image whose gradient is the ONE-INDIRECT-BOUNCE shadow
+    boundary term (see module docstring for the estimator and its scope).
+
+    `hit_fn(scene_detached, ro, rd) -> SceneIntersection` supplies the
+    detached primary hits (the receivers); each sample draws one pixel,
+    one (edge, t) point, projects the attached edge point from the
+    receiver onto the light plane, and accumulates
+    g * |dz/dt| * (E * W * H / N) at the receiver's pixel through the
+    n_hat . z(theta) carrier.
+    """
+    E = int(edges.e_verts.shape[0])
+    cam = params.camera
+    c0 = jnp.asarray(light.c0)
+    le1 = jnp.asarray(light.e1)
+    le2 = jnp.asarray(light.e2)
+    n_l = jnp.asarray(light.normal)
+    Le = jnp.asarray(light.emission)
+    inv_l1 = 1.0 / float(np.dot(light.e1, light.e1))
+    inv_l2 = 1.0 / float(np.dot(light.e2, light.e2))
+    wh = jnp.asarray([width, height], jnp.float32)
+
+    def shadow_term(scene_a, key):
+        from .sceneval import eval_camera, eval_element_normal, eval_position
+
+        sg = jax.lax.stop_gradient
+        scene_d = sg_scene(scene_a)
+        kp, kl, ke, kt = jax.random.split(key, 4)
+
+        # receivers: one jittered pixel sample each (detached)
+        uv_pix = jax.random.uniform(kp, (n_samples, 2))
+        ro, rd = eval_camera(scene_d, cam, uv_pix,
+                             jnp.zeros((n_samples, 2)))
+        isec = hit_fn(scene_d, ro, rd)
+        inst_r = jnp.maximum(isec.instance, 0)
+        gelem = (scene_d.shape_elem_start[scene_d.inst_shape[inst_r]]
+                 + jnp.maximum(isec.element, 0))
+        y = eval_position(scene_d, inst_r, gelem, isec.uv)
+        ny = eval_element_normal(scene_d, inst_r, gelem)
+        mat_r = scene_d.inst_material[inst_r]
+        alb = scene_d.mat_color[mat_r]
+        receiver_ok = (isec.hit
+                       & (scene_d.mat_type[mat_r] == 0)   # matte
+                       & (M.maxc(scene_d.mat_emission[mat_r]) == 0.0))
+        ny = jnp.where(M.dot(ny, rd)[:, None] > 0, -ny, ny)
+
+        # edge points (ATTACHED through the vertex pool)
+        eidx = jax.random.randint(ke, (n_samples,), 0, E)
+        t = jax.random.uniform(kt, (n_samples,))
+        ev = edges.e_verts[eidx]
+        inst_e = edges.inst[eidx]
+        v0a = _world_vert(scene_a, ev[:, 0], inst_e)
+        v1a = _world_vert(scene_a, ev[:, 1], inst_e)
+        x_a = v0a + (v1a - v0a) * t[:, None]
+
+        def proj(xx):
+            """Project xx from y onto the light plane: z = y + (xx-y) s."""
+            dirv = xx - y
+            denom = jnp.sum(dirv * n_l, axis=-1)
+            s = (jnp.sum((c0 - y) * n_l, axis=-1)
+                 / jnp.where(denom == 0.0, 1e-20, denom))
+            # grazing edges give astronomically distant projections; clamp
+            # so the attached carrier stays finite (masked-out samples
+            # must not inject inf - inf = NaN into the scatter)
+            s = jnp.clip(s, -1e4, 1e4)
+            return y + dirv * s[:, None], s
+
+        z_a, s_a = proj(x_a)
+        s_d = sg(s_a)
+
+        # detached curve speed |dz/dt| (the edge's image on the light
+        # plane is traversed non-uniformly in t: projective map)
+        v0d, v1d = sg(v0a), sg(v1a)
+
+        def z_of_t(tt):
+            return proj(v0d + (v1d - v0d) * tt[:, None])[0]
+
+        z_d, dz_dt = jax.jvp(z_of_t, (t,), (jnp.ones_like(t),))
+        dl = jnp.linalg.norm(dz_dt, axis=-1)
+
+        # the blocker must sit strictly between receiver and light plane
+        between = (s_d > 1.0 + 1e-4)
+
+        # inside the light rectangle (detached)
+        dz0 = z_d - c0
+        lu = jnp.sum(dz0 * le1, axis=-1) * inv_l1
+        lv = jnp.sum(dz0 * le2, axis=-1) * inv_l2
+        inside = (lu >= 0) & (lu <= 1) & (lv >= 0) & (lv <= 1)
+
+        # shadow silhouette from the receiver: boundary edges of open
+        # sheets always block; interior edges need exactly one face
+        # fronting y (two-sided blocking, unlike the camera case)
+        view = sg(x_a) - y
+        n1 = _face_normal(scene_d, edges.f1_verts[eidx], inst_e)
+        n2 = _face_normal(scene_d, edges.f2_verts[eidx], inst_e)
+        front1 = M.dot(n1, view) < 0.0
+        front2 = M.dot(n2, view) < 0.0
+        silho = edges.boundary[eidx] | (front1 != front2)
+
+        # NEE integrand g(z) at the curve (detached)
+        dvec = z_d - y
+        r2 = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-12)
+        wdir = dvec / jnp.sqrt(r2)[:, None]
+        cos_y = jnp.sum(ny * wdir, axis=-1)
+        cos_l = jnp.abs(jnp.sum(n_l * wdir, axis=-1))
+        g = (alb / jnp.pi) * Le[None, :] * (
+            jnp.maximum(cos_y, 0.0) * cos_l / r2)[:, None]
+
+        # in-plane curve normal, oriented INTO the blocked region (the
+        # occluder interior's own projection): outward of the visible set
+        tang = dz_dt / jnp.maximum(dl, 1e-12)[:, None]
+        nhat = jnp.cross(jnp.broadcast_to(n_l, tang.shape), tang)
+        ffront = jnp.where(front1[:, None], edges.f1_verts[eidx],
+                           edges.f2_verts[eidx])
+        centroid = (_world_vert(scene_d, ffront[:, 0], inst_e)
+                    + _world_vert(scene_d, ffront[:, 1], inst_e)
+                    + _world_vert(scene_d, ffront[:, 2], inst_e)
+                    + _world_vert(scene_d, ffront[:, 3], inst_e)) / 4.0
+        c_z, c_s = proj(centroid)
+        away = jnp.sum((sg(c_z) - z_d) * nhat, axis=-1) < 0.0
+        nhat = jnp.where(away[:, None], -nhat, nhat)
+
+        valid = receiver_ok & between & inside & silho & (cos_y > 0)
+        weight = dl * (E * width * height / n_samples)
+        coef = jnp.where(valid[:, None], g * weight[:, None], 0.0)
+
+        ns = jnp.sum(nhat * z_a, axis=-1)
+        carrier = (ns - sg(ns))[:, None]
+        px = jnp.clip((uv_pix[:, 0] * width).astype(jnp.int32),
+                      0, width - 1)
+        py = jnp.clip((uv_pix[:, 1] * height).astype(jnp.int32),
+                      0, height - 1)
+        return (jnp.zeros((height, width, 3), jnp.float32)
+                .at[py, px].add(sg(coef) * carrier))
+
+    return shadow_term
