@@ -1,17 +1,13 @@
-"""Per-stage TPU wall-clock profile of the features1 wavefront bounce.
+"""Per-stage wall-clock attribution for the features1 wavefront path.
 
-Times, at representative bucket sizes, the pieces of the fused bounce:
-  sort   — 5-D morton keys + argsort + ray permute
-  cull   — _tile_clusters (per-ray slab tests vs every cluster bbox)
-  sweep  — the Pallas tile sweep (entry-sorted slot walk)
-  isect  — the whole ClusterIntersector call (sort+cull+sweep+unpermute)
-  shade  — the wavefront shade stage
-  bounce — the fused intersect+shade+live-count dispatch
+Times, on the real chip, at the dominant lane counts of the bench
+workload (320 res x 8 spp batch): raygen, the fused bounce (isect+shade),
+and the split isect / shade pieces, plus compaction. The split times tell
+where the next optimization dollar goes (cull vs sweep vs shade gathers).
 
-Run: python scripts/profile_features1.py [bucket ...]
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_features1.py
 """
 
-import sys
 import time
 
 import jax
@@ -21,92 +17,73 @@ import numpy as np
 from yocto_tpu.io.sceneio import load_scene
 from yocto_tpu.trace.params import SamplerType, TraceParams
 from yocto_tpu.trace.wavefront import WavefrontRenderer
-from yocto_tpu.trace import pallas_cluster as PC
-from yocto_tpu.ops import mathops as M
+
+FEATURES1 = "/root/reference/tests/features1/features1.json"
 
 
-def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def t(fn, *args, n=4, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / n, out
 
 
 def main():
-    buckets = [int(a) for a in sys.argv[1:]] or [819200, 262144, 65536]
-    scene = load_scene("/root/reference/tests/features1/features1.json")
+    scene = load_scene(FEATURES1)
     params = TraceParams(resolution=320, samples=64, bounces=8,
                          sampler=SamplerType.path, spp_batch=8)
-    wf = WavefrontRenderer(scene, params)
-    cl = wf._cluster
-    assert cl is not None
-    print(f"clusters={cl.n_clusters} cluster={cl.cluster} "
-          f"max_slots={cl.max_slots} ray_tile={cl.ray_tile}")
+    r = WavefrontRenderer(scene, params)
+    print("cluster:", r._cluster is not None,
+          "n_clusters:", getattr(r._cluster, "n_clusters", None),
+          "cluster size:", getattr(r._cluster, "cluster", None))
 
-    flat, lights = wf.flat, wf.lights
-    raygen = wf._raygen()
-    lanes0 = raygen(flat, 0)
-    bounce = wf._bounce()
-    # one real bounce to get realistic secondary rays
-    n0 = lanes0.pix.shape[0]
-    img = jnp.zeros((wf.width * wf.height, 3), jnp.float32)
-    alb = jnp.zeros_like(img)
-    nrm = jnp.zeros_like(img)
-    hit = jnp.zeros((wf.width * wf.height,), jnp.int32)
-    lanes1, *_ = bounce(flat, lights, lanes0, img, alb, nrm, hit,
-                        first_bounce=True)
-    jax.block_until_ready(lanes1.pix)
+    flat, lights = r.flat, r.lights
+    dt, lanes0 = t(lambda: r._raygen()(flat, 0), n=2)
+    npix = r.width * r.height
+    print(f"raygen ({lanes0.pix.shape[0]} lanes): {dt*1e3:.1f} ms")
 
-    for bucket in buckets:
-        for name, lanes in (("camera", lanes0), ("bounce1", lanes1)):
-            if lanes.pix.shape[0] < bucket:
-                continue
-            sl = jax.tree.map(lambda a: a[:bucket], lanes)
-            ro, rd = sl.ro, sl.rd
-            tmax = jnp.where(sl.pix >= 0, M.flt_max, 0.0)
+    img = jnp.zeros((npix, 3), jnp.float32)
+    alb = jnp.zeros((npix, 3), jnp.float32)
+    nrm = jnp.zeros((npix, 3), jnp.float32)
+    hits = jnp.zeros(npix, jnp.int32)
 
-            t_isect = timeit(
-                jax.jit(lambda ro, rd, tmax: cl(flat, ro, rd, tmax=tmax)),
-                ro, rd, tmax)
+    bounce = r._bounce()
+    lanes = lanes0
+    state = (img, alb, nrm, hits)
+    for it in range(4):
+        B = int(lanes.pix.shape[0])
+        dt, out = t(bounce, flat, lights, lanes, *state,
+                    first_bounce=(it == 0), n=2)
+        lanes, img, alb, nrm, hits, nlive = out
+        state = (img, alb, nrm, hits)
+        print(f"bounce {it} @ {B} lanes: {dt*1e3:.1f} ms "
+              f"(live after: {int(nlive)})")
+        # split attribution at this lane count
+        tmax = jnp.where(lanes.pix >= 0, 3.4e38, 0.0)
+        isect_fn = jax.jit(r._intersect_raw())
+        dt_i, isec = t(isect_fn, flat, lanes.ro, lanes.rd, tmax=tmax, n=2)
+        shade = r._shade()
+        dt_s, _ = t(shade, flat, lights, lanes, isec.hit, isec.instance,
+                    isec.element, isec.uv, isec.distance, *state,
+                    first_bounce=False, n=2)
+        print(f"    split: isect {dt_i*1e3:.1f} ms, shade {dt_s*1e3:.1f} ms")
+        from yocto_tpu.trace.wavefront import _next_bucket
+        nl = int(nlive)
+        if nl == 0:
+            break
+        bucket = _next_bucket(nl)
+        if bucket < lanes.pix.shape[0]:
+            dt_c, lanes = t(r._compact(), lanes, bucket=bucket, n=2)
+            print(f"    compact -> {bucket}: {dt_c*1e3:.1f} ms")
 
-            keyfn = jax.jit(lambda ro, rd: jnp.argsort(
-                PC.ray_sort_keys(ro, rd)))
-            t_sort = timeit(keyfn, ro, rd)
-
-            order = keyfn(ro, rd)
-            ros, rds = ro[order], rd[order]
-            tmins = jnp.full(bucket, 1e-4, jnp.float32)
-            tmaxs = tmax[order]
-            ntiles = bucket // cl.ray_tile
-
-            cullfn = jax.jit(lambda a, b, c, d: cl._tile_clusters(
-                a, b, c, d, ntiles))
-            t_cull = timeit(cullfn, ros, rds, tmins, tmaxs)
-
-            clist, centry, maxent, _ = cullfn(ros, rds, tmins, tmaxs)
-            rays = jnp.concatenate(
-                [ros, rds, tmins[:, None], tmaxs[:, None],
-                 maxent[:, None], jnp.zeros((bucket, 7), jnp.float32)],
-                axis=1)
-            ckind = jnp.where(clist >= 0,
-                              cl.c_kind[jnp.maximum(clist, 0)], 0)
-            t_sweep = timeit(
-                lambda: PC._run_sweep(rays, cl.prims, clist, centry,
-                                      ckind, cl.cluster, cl.variants,
-                                      cl.interpret, ray_tile=cl.ray_tile))
-
-            t_bounce = timeit(
-                lambda: bounce(flat, lights, sl, img, alb, nrm, hit,
-                               first_bounce=False))
-            t_shade = t_bounce - t_isect
-            mean_cl = float(jnp.where(clist >= 0, 1, 0).sum(1).mean())
-            print(f"[{bucket:7d} {name:7s}] isect {t_isect*1e3:7.1f} ms "
-                  f"(sort {t_sort*1e3:6.1f} cull {t_cull*1e3:6.1f} "
-                  f"sweep {t_sweep*1e3:6.1f}) bounce {t_bounce*1e3:7.1f} "
-                  f"shade~{t_shade*1e3:7.1f} slots/tile {mean_cl:6.1f}")
+    # whole-sample wall clock (the bench number's building block)
+    dt, _ = t(lambda: r.render_sample(flat, lights, 1), n=1)
+    paths = npix * r.spp_batch
+    print(f"render_sample: {dt*1e3:.0f} ms -> "
+          f"{paths/dt/1e6:.3f} Mpaths/s")
 
 
 if __name__ == "__main__":

@@ -30,3 +30,29 @@ def test_denoise_reduces_noise():
     keep = e_noisy < np.quantile(e_noisy, 0.99)
     ratio = e_den[keep].mean() / e_noisy[keep].mean()
     assert ratio < 0.5, ratio
+
+    # SSIM uplift vs the converged render (VERDICT r2: quantitative
+    # denoiser parity metric, the OIDN role yocto_trace.cpp:1729-1872)
+    s_noisy = _ssim(noisy, clean)
+    s_den = _ssim(den, clean)
+    assert s_den > s_noisy + 0.1, (s_noisy, s_den)
+    assert s_den > 0.65, s_den
+
+
+def _ssim(a, b, c1=0.01 ** 2, c2=0.03 ** 2):
+    """Mean SSIM over 8x8 tiles of the luminance channel."""
+    def lum(x):
+        return x.mean(-1)
+
+    def tiles(x, t=8):
+        h, w = x.shape
+        x = x[:h - h % t, :w - w % t]
+        return x.reshape(h // t, t, w // t, t).transpose(0, 2, 1, 3)
+
+    ta, tb = tiles(lum(a)), tiles(lum(b))
+    mu_a, mu_b = ta.mean((-1, -2)), tb.mean((-1, -2))
+    va, vb = ta.var((-1, -2)), tb.var((-1, -2))
+    cov = (ta * tb).mean((-1, -2)) - mu_a * mu_b
+    ssim = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
+            / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+    return float(ssim.mean())
