@@ -32,10 +32,16 @@ def t(fn, *args, n=4, **kw):
 
 
 def main():
+    import sys
     scene = load_scene(FEATURES1)
     params = TraceParams(resolution=320, samples=64, bounces=8,
                          sampler=SamplerType.path, spp_batch=8)
     r = WavefrontRenderer(scene, params)
+    if len(sys.argv) > 1:  # optional cluster-size override experiment
+        from yocto_tpu.trace.pallas_cluster import make_cluster_intersector
+        r._cluster = make_cluster_intersector(
+            scene, kinds=r.features.kinds, cluster=int(sys.argv[1]))
+        r._jits.clear()
     print("cluster:", r._cluster is not None,
           "n_clusters:", getattr(r._cluster, "n_clusters", None),
           "cluster size:", getattr(r._cluster, "cluster", None))
