@@ -238,6 +238,8 @@ STAGES = [
 
 
 def _run_stage(name):
+    import yocto_tpu
+    yocto_tpu.enable_compilation_cache()
     fn = globals()["bench_" + name]
     val = fn()
     print("BENCH_RESULT %.8g" % val, flush=True)
@@ -253,10 +255,13 @@ def main():
             results[name] = None
             continue
         try:
+            t_stage = time.monotonic()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", name],
                 capture_output=True, text=True,
                 timeout=max(1.0, remaining - 5.0))
+            sys.stderr.write("bench stage %s took %.1fs\n"
+                             % (name, time.monotonic() - t_stage))
             val = None
             for line in proc.stdout.splitlines():
                 if line.startswith("BENCH_RESULT "):

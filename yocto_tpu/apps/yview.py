@@ -285,7 +285,10 @@ class ViewerServer:
     #    SceneData, so one cancel->preview->restart round-trips the edit.
     def _edit_material(self, edit: dict):
         from ..models.scene import MaterialType
-        mat = self.scene.materials[int(edit["index"])]
+        idx = int(edit["index"])
+        if not 0 <= idx < len(self.scene.materials):
+            raise ValueError(f"material index {idx} out of range")
+        mat = self.scene.materials[idx]
         if "type" in edit:
             mat.type = MaterialType[edit["type"]]
         for key in ("color", "emission", "scattering"):
@@ -298,7 +301,10 @@ class ViewerServer:
         self._restart()
 
     def _edit_environment(self, edit: dict):
-        env = self.scene.environments[int(edit["index"])]
+        idx = int(edit["index"])
+        if not 0 <= idx < len(self.scene.environments):
+            raise ValueError(f"environment index {idx} out of range")
+        env = self.scene.environments[idx]
         if "emission" in edit:
             env.emission = np.asarray(edit["emission"], np.float32)
         self._restart()
@@ -374,9 +380,20 @@ def serve(scene, params, port: int = 8080, open_browser: bool = False):
                 self.wfile.write(body)
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
-            cmd = json.loads(self.rfile.read(n) or b"{}")
-            viewer.command(cmd)
+            # a malformed command must return an error response, not kill
+            # the handler thread (ADVICE r3: unvalidated JSON indices)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                cmd = json.loads(self.rfile.read(n) or b"{}")
+                viewer.command(cmd)
+            except Exception as exc:
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self.send_response(204)
             self.end_headers()
 

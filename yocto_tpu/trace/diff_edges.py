@@ -38,7 +38,13 @@ x; everything else is detached.
 Shadow-term v2 scope (documented, mirrors the primary term's v1 scoping):
 one planar rect area light (the scene's first single-quad emissive
 instance), matte untextured receivers, no second occluder between the
-sampled edge and the light, static light geometry.
+sampled edge and the light, static light geometry. Receiver-to-edge
+occlusion IS tested (a detached hit_fn ray gates each sample), so edges
+hidden from the receiver by other geometry inject no gradient. The light
+is treated as TWO-SIDED, matching the interior estimator: non-refractive
+shading normals are flipped toward the outgoing direction
+(sceneval.eval_shading_normal), so eval_emission's facing test always
+passes and emissive quads radiate from both faces.
 """
 
 from __future__ import annotations
@@ -308,14 +314,13 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
     Le = jnp.asarray(light.emission)
     inv_l1 = 1.0 / float(np.dot(light.e1, light.e1))
     inv_l2 = 1.0 / float(np.dot(light.e2, light.e2))
-    wh = jnp.asarray([width, height], jnp.float32)
 
     def shadow_term(scene_a, key):
         from .sceneval import eval_camera, eval_element_normal, eval_position
 
         sg = jax.lax.stop_gradient
         scene_d = sg_scene(scene_a)
-        kp, kl, ke, kt = jax.random.split(key, 4)
+        kp, ke, kt = jax.random.split(key, 3)
 
         # receivers: one jittered pixel sample each (detached)
         uv_pix = jax.random.uniform(kp, (n_samples, 2))
@@ -347,12 +352,18 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
             """Project xx from y onto the light plane: z = y + (xx-y) s."""
             dirv = xx - y
             denom = jnp.sum(dirv * n_l, axis=-1)
-            s = (jnp.sum((c0 - y) * n_l, axis=-1)
-                 / jnp.where(denom == 0.0, 1e-20, denom))
-            # grazing edges give astronomically distant projections; clamp
-            # so the attached carrier stays finite (masked-out samples
-            # must not inject inf - inf = NaN into the scatter)
-            s = jnp.clip(s, -1e4, 1e4)
+            s_raw = (jnp.sum((c0 - y) * n_l, axis=-1)
+                     / jnp.where(denom == 0.0, 1e-20, denom))
+            # grazing edges give astronomically distant projections; those
+            # samples must stay finite (masked-out lanes must not inject
+            # inf - inf = NaN into the scatter) but the clamp must not
+            # bias legitimate in-scope samples, so out-of-range s is
+            # REPLACED (detached constant), never saturated: a replaced
+            # sample projects far outside the light rect and fails the
+            # `inside` gate instead of contributing a clipped-z gradient
+            grazing = jnp.abs(s_raw) > 1e4
+            s = jnp.where(grazing, jax.lax.stop_gradient(
+                jnp.sign(s_raw) * 1e4), s_raw)
             return y + dirv * s[:, None], s
 
         z_a, s_a = proj(x_a)
@@ -368,8 +379,11 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
         z_d, dz_dt = jax.jvp(z_of_t, (t,), (jnp.ones_like(t),))
         dl = jnp.linalg.norm(dz_dt, axis=-1)
 
-        # the blocker must sit strictly between receiver and light plane
-        between = (s_d > 1.0 + 1e-4)
+        # the blocker must sit strictly between receiver and light plane;
+        # grazing projections (|s| pinned at 1e4 by proj) are dropped
+        # outright — bias bound: they need the receiver within ~1e-4 of
+        # the occluder plane, measure-zero in the FD test scenes
+        between = (s_d > 1.0 + 1e-4) & (jnp.abs(s_d) < 1e4)
 
         # inside the light rectangle (detached)
         dz0 = z_d - c0
@@ -392,6 +406,9 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
         r2 = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-12)
         wdir = dvec / jnp.sqrt(r2)[:, None]
         cos_y = jnp.sum(ny * wdir, axis=-1)
+        # two-sided |cos_l| matches the interior estimator: shading
+        # normals flip toward outgoing (sceneval.eval_shading_normal), so
+        # emissive quads radiate from both faces (see module docstring)
         cos_l = jnp.abs(jnp.sum(n_l * wdir, axis=-1))
         g = (alb / jnp.pi) * Le[None, :] * (
             jnp.maximum(cos_y, 0.0) * cos_l / r2)[:, None]
@@ -410,7 +427,20 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
         away = jnp.sum((sg(c_z) - z_d) * nhat, axis=-1) < 0.0
         nhat = jnp.where(away[:, None], -nhat, nhat)
 
-        valid = receiver_ok & between & inside & silho & (cos_y > 0)
+        # receiver -> edge visibility (ADVICE r3): an edge hidden from y
+        # by other geometry must not inject gradient. The detached ray
+        # y -> x grazes the occluder AT x, so "blocked" means a hit
+        # strictly before the edge point (rel tol; the grazing self-hit
+        # lands at ~|x - y| and passes).
+        x_d = sg(x_a)
+        to_x = x_d - y
+        dist_x = jnp.linalg.norm(to_x, axis=-1)
+        dir_x = to_x / jnp.maximum(dist_x, 1e-12)[:, None]
+        occ = hit_fn(scene_d, y + ny * 1e-4, dir_x)
+        edge_visible = ~(occ.hit & (occ.distance < dist_x * (1.0 - 1e-3)))
+
+        valid = (receiver_ok & between & inside & silho & (cos_y > 0)
+                 & edge_visible)
         weight = dl * (E * width * height / n_samples)
         coef = jnp.where(valid[:, None], g * weight[:, None], 0.0)
 
