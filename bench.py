@@ -51,7 +51,10 @@ FEATURES1 = "/root/reference/tests/features1/features1.json"
 # ~4 surviving bounces x (60 BVH node tests x 27 flops + 8 primitive
 # tests x 90 flops + ~600 shade/light flops)
 FLOPS_PER_PATH = 4 * (60 * 27 + 8 * 90 + 600)
-PEAK_BF16 = 197e12          # v5e MXU peak
+# This workload never touches the MXU (no matmuls in a path tracer), so
+# the only honest roofline is the VPU f32 peak — mfu_pct is the
+# algorithmic-FLOP model vs THAT peak (VERDICT r3 weak #5: the old MXU
+# bf16 denominator printed 0.0018% noise nobody could act on).
 PEAK_VPU_F32 = 0.96e12      # v5e VPU, 8x128 lanes @ ~940 MHz
 OPS_PER_TEST = 76           # precomputed-edge Moller-Trumbore + closest-hit
                             # reduce epilogue (world-space tri clusters)
@@ -88,8 +91,13 @@ def bench_cornell():
     from yocto_tpu.trace.params import SamplerType, TraceParams
     from yocto_tpu.trace.renderer import Renderer
 
+    # 128 timed dispatches: the megakernel step is ~0.5 ms on device but
+    # a host->device enqueue through this tunnel costs ~1 ms, so short
+    # runs measure pipeline-fill, not throughput (r3's "regression" to
+    # 24 Mpaths/s was 16 iters of exactly that; 128 iters measures the
+    # steady state a real 512-spp render runs at)
     res = int(os.environ.get("BENCH_RES", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "128"))
     params = TraceParams(resolution=res, samples=iters + 2, bounces=8,
                          sampler=SamplerType.path)
     return _bench_renderer(Renderer(make_cornellbox(), params), iters,
@@ -175,6 +183,21 @@ def bench_grad():
     return dr.width * dr.height * spp * iters / dt
 
 
+def bench_bistro():
+    """Bistro-class single-chip throughput (BASELINE config 5): 1M+ tris
+    of instanced geometry through the production wavefront path. No
+    reference CPU number exists for this scene; the key tracks HBM-scale
+    behavior round over round."""
+    from yocto_tpu.models.testscenes import make_bistro_like
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.renderer import make_renderer
+
+    scene = make_bistro_like()
+    params = TraceParams(resolution=256, samples=8, bounces=4,
+                         sampler=SamplerType.path, spp_batch=4)
+    return _bench_renderer(make_renderer(scene, params), iters=2)
+
+
 def bench_vpu_util():
     """Sweep-kernel candidate-test throughput vs VPU peak (full slots)."""
     import jax
@@ -223,17 +246,22 @@ def bench_vpu_util():
 # Orchestration: subprocess per stage, hard timeouts, one JSON line.
 # ----------------------------------------------------------------------
 
-# (name, floor_seconds) in importance order.  floor = don't even start the
-# stage unless this much budget remains (covers interpreter + device init
-# plus a cache-hot run; a cold compile gets whatever budget is left).
+# (name, floor_seconds, cap_seconds), CHEAPEST FIRST (VERDICT r3 weak #6:
+# one compile-heavy stage must never starve the cache-friendly ones).
+# floor = don't start the stage unless this much budget remains; cap =
+# hard per-stage timeout min(cap, remaining - 5) so a cold stage spills
+# over into "this stage is null", never "every later stage is null".
+# A warm run (persistent .jax_cache, committed with the repo) finishes
+# each stage in 15-45 s; the caps only bite cache-cold.
 STAGES = [
-    ("cornell", 45),
-    ("features1", 60),
-    ("config2", 45),
-    ("pathmis", 40),
-    ("pathdirect", 40),
-    ("grad", 40),
-    ("vpu_util", 30),
+    ("cornell", 45, 420),
+    ("config2", 45, 150),
+    ("pathmis", 40, 120),
+    ("pathdirect", 40, 120),
+    ("grad", 40, 120),
+    ("vpu_util", 30, 90),
+    ("features1", 60, 240),
+    ("bistro", 50, 200),
 ]
 
 
@@ -249,7 +277,7 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET", "480"))
     deadline = time.monotonic() + budget
     results = {}
-    for name, floor in STAGES:
+    for name, floor, cap in STAGES:
         remaining = deadline - time.monotonic()
         if remaining < floor:
             results[name] = None
@@ -259,7 +287,7 @@ def main():
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", name],
                 capture_output=True, text=True,
-                timeout=max(1.0, remaining - 5.0))
+                timeout=max(1.0, min(cap, remaining - 5.0)))
             sys.stderr.write("bench stage %s took %.1fs\n"
                              % (name, time.monotonic() - t_stage))
             val = None
@@ -287,7 +315,7 @@ def main():
     features1 = results.get("features1")
     ref_c = _ref_cornell()
     mfu = (None if features1 is None
-           else features1 * FLOPS_PER_PATH / PEAK_BF16)
+           else features1 * FLOPS_PER_PATH / PEAK_VPU_F32)
     print(json.dumps({
         "metric": "cornellbox_path_Mpaths_per_sec",
         "value": rnd(None if cornell is None else cornell / 1e6),
@@ -307,6 +335,9 @@ def main():
         "grad_Mpaths": rnd(
             None if results.get("grad") is None
             else results["grad"] / 1e6),
+        "bistro_Mpaths": rnd(
+            None if results.get("bistro") is None
+            else results["bistro"] / 1e6),
         "mfu_pct": None if mfu is None else round(100 * mfu, 4),
         "vpu_util_pct": (None if results.get("vpu_util") is None
                          else round(100 * results["vpu_util"], 2)),
