@@ -26,7 +26,11 @@ import jax  # noqa: E402
 
 if _backend == "cpu":
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    # cache everything, including small/fast-compiling executables
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the env var alone does not activate the persistent cache on the axon
+# TPU backend (see yocto_tpu.enable_compilation_cache); jax.config does,
+# and both backends want it (XLA CPU compiles take minutes on this host,
+# TPU compiles go through a slow remote helper)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+# cache everything, including small/fast-compiling executables
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

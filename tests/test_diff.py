@@ -441,3 +441,94 @@ def test_shadow_silhouette_grad_matches_fd():
     assert np.isfinite(ad_shad)
     assert np.sign(ad_shad) == np.sign(fd), (ad_shad, fd)
     assert abs(ad_shad - fd) / abs(fd) < 0.5, (ad_shad, fd)
+
+
+# ---------------------------------------------------------------------------
+# TWO-bounce shadow silhouette gradients (VERDICT r3 #8): the shadow falls
+# on a floor the camera never sees directly — only its bounce onto a wall
+# is visible, so the depth-1 shadow term is blind and depth-2 must recover
+# ---------------------------------------------------------------------------
+
+def _two_bounce_shadow_scene():
+    """Camera stares at a wall lit (a) directly by the light and (b) by
+    bounce off a floor whose shadow the occluder casts. The occluder sits
+    outside the camera frustum AND never blocks wall<->light paths (its
+    sheet covers z < 0 at y=2; wall-light segments cross y=2 at z > 0.4),
+    so moving it changes the image ONLY through floor-mediated bounce."""
+    from yocto_tpu.models.scene import CameraData, SceneData
+    from yocto_tpu.models.shape import ShapeData
+
+    def quad(pts):
+        return ShapeData(
+            positions=np.asarray(pts, np.float32),
+            quads=np.array([[0, 1, 2, 3]], np.int32))
+
+    scene = SceneData()
+    # camera at (0, 0.8, -2.5) looking toward +z; lens 0.1 narrows the
+    # frustum to ~±0.72 at the wall (z=1.5): the wall fills the view
+    scene.cameras.append(CameraData(
+        frame=np.array([[-1, 0, 0], [0, 1, 0], [0, 0, -1], [0, 0.8, -2.5]],
+                       np.float32),
+        lens=0.1, film=0.036, aspect=1.0, focus=4.0))
+    scene.materials.append(MaterialData(
+        color=np.array([0.8, 0.8, 0.8], np.float32)))        # floor
+    scene.materials.append(MaterialData(
+        emission=np.array([10.0, 10.0, 10.0], np.float32)))  # light
+    scene.materials.append(MaterialData(
+        color=np.array([0.05, 0.05, 0.05], np.float32)))     # occluder
+    scene.materials.append(MaterialData(
+        color=np.array([0.7, 0.7, 0.7], np.float32)))        # wall
+    # floor at y=0 (verts 0-3)
+    scene.shapes.append(quad([[-1, 0, -1], [1, 0, -1],
+                              [1, 0, 1], [-1, 0, 1]]))
+    scene.instances.append(InstanceData(shape=0, material=0))
+    # rect area light at y=4 (verts 4-7)
+    scene.shapes.append(quad([[-0.3, 4, -0.3], [0.3, 4, -0.3],
+                              [0.3, 4, 0.3], [-0.3, 4, 0.3]]))
+    scene.instances.append(InstanceData(shape=1, material=1))
+    # occluder sheet at y=2 covering x<0, z<0 (verts 8-11); its x=0 edge
+    # (verts 9, 10) casts the moving shadow onto the floor quadrant
+    scene.shapes.append(quad([[-2, 2, -1.5], [0, 2, -1.5],
+                              [0, 2, 0], [-2, 2, 0]]))
+    scene.instances.append(InstanceData(shape=2, material=2))
+    # wall at z=1.5 facing the camera (verts 12-15)
+    scene.shapes.append(quad([[-1.2, 0, 1.5], [1.2, 0, 1.5],
+                              [1.2, 2.2, 1.5], [-1.2, 2.2, 1.5]]))
+    scene.instances.append(InstanceData(shape=3, material=3))
+    return scene
+
+
+def test_shadow_silhouette_grad_two_bounce():
+    params = TraceParams(resolution=24, samples=8, bounces=3,
+                         sampler=SamplerType.path)
+    dr = DiffRenderer(_two_bounce_shadow_scene(), params)
+    theta0 = dr.theta()
+    key = jax.random.PRNGKey(13)
+
+    def loss(theta, depth):
+        return jnp.mean(dr.render_edges(theta, key, theta_sampling=theta0,
+                                        shadow=True, shadow_depth=depth))
+
+    g_d1 = jax.grad(lambda th: loss(th, 1))(theta0)
+    g_d2 = jax.grad(lambda th: loss(th, 2))(theta0)
+    occ = slice(8, 12)
+    ad_d1 = float(np.asarray(g_d1["positions"])[occ, 0].sum())
+    ad_d2 = float(np.asarray(g_d2["positions"])[occ, 0].sum())
+
+    # finite difference of the real image mean: shift the whole occluder
+    def mean_at(dx):
+        th = {k: np.asarray(v).copy() for k, v in theta0.items()}
+        th["positions"][occ, 0] += dx
+        th = {k: jnp.asarray(v) for k, v in th.items()}
+        return float(jnp.mean(dr.render(th, theta_sampling=theta0)))
+
+    h = 3e-2
+    fd = (mean_at(h) - mean_at(-h)) / (2 * h)
+    assert np.isfinite(fd) and abs(fd) > 1e-5, fd
+    # the depth-1 term only sees camera-visible receivers (the wall,
+    # whose direct light the occluder never blocks) -> provably blind
+    assert abs(ad_d1) < 0.25 * abs(fd), (ad_d1, fd)
+    # depth 2 walks one matte bounce to the floor and recovers it
+    assert np.isfinite(ad_d2)
+    assert np.sign(ad_d2) == np.sign(fd), (ad_d2, fd)
+    assert abs(ad_d2 - fd) / abs(fd) < 0.5, (ad_d2, fd)

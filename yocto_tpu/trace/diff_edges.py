@@ -45,6 +45,15 @@ is treated as TWO-SIDED, matching the interior estimator: non-refractive
 shading normals are flipped toward the outgoing direction
 (sceneval.eval_shading_normal), so eval_emission's facing test always
 passes and emissive quads radiate from both faces.
+
+Round 4 extends the shadow term to ARBITRARY RECEIVER DEPTH (`depth`
+flag): the detached receiver path is continued by cosine-sampled matte
+bounces, and every generation adds the same Reynolds-transport boundary
+term weighted by the interior estimator's path throughput (for matte
+receivers under cosine sampling f/pdf == albedo exactly). Depth 2
+recovers shadow gradients the camera only sees bounced off other
+surfaces, which the depth-1 term is provably blind to
+(tests/test_diff.py::test_shadow_silhouette_grad_two_bounce).
 """
 
 from __future__ import annotations
@@ -293,17 +302,28 @@ def find_rect_light(scene: SceneData):
 
 
 def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
-                          width, height, hit_fn, n_samples: int = 16384):
+                          width, height, hit_fn, n_samples: int = 16384,
+                          depth: int = 1):
     """Returns shadow_term(scene_attached, key) -> [H,W,3] zero-valued
-    carrier image whose gradient is the ONE-INDIRECT-BOUNCE shadow
-    boundary term (see module docstring for the estimator and its scope).
+    carrier image whose gradient is the shadow boundary term at up to
+    `depth` receiver generations (see module docstring for the estimator
+    and its scope).
 
     `hit_fn(scene_detached, ro, rd) -> SceneIntersection` supplies the
-    detached primary hits (the receivers); each sample draws one pixel,
-    one (edge, t) point, projects the attached edge point from the
-    receiver onto the light plane, and accumulates
-    g * |dz/dt| * (E * W * H / N) at the receiver's pixel through the
-    n_hat . z(theta) carrier.
+    detached hits; each sample draws one pixel, one (edge, t) point,
+    projects the attached edge point from the receiver onto the light
+    plane, and accumulates g * |dz/dt| * (E * W * H / N) at the CAMERA
+    pixel through the n_hat . z(theta) carrier.
+
+    `depth` (VERDICT r3 #8): generation 1 is the camera hit (the round-3
+    one-indirect-bounce term); each further generation extends the
+    detached receiver path by one cosine-sampled matte bounce and adds
+    the same boundary term weighted by the path throughput. For matte
+    receivers under cosine sampling the interior estimator's f/pdf is
+    exactly the albedo, so throughput_k = prod(albedo_1..k-1) — the
+    shadow moving on a wall the camera only sees via other walls still
+    injects its gradient at the camera pixel. Receiver chains stop at
+    non-matte or emissive hits (scope unchanged otherwise).
     """
     E = int(edges.e_verts.shape[0])
     cam = params.camera
@@ -316,30 +336,22 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
     inv_l2 = 1.0 / float(np.dot(light.e2, light.e2))
 
     def shadow_term(scene_a, key):
+        from ..ops import sampling as SMP
         from .sceneval import eval_camera, eval_element_normal, eval_position
 
         sg = jax.lax.stop_gradient
         scene_d = sg_scene(scene_a)
-        kp, ke, kt = jax.random.split(key, 3)
+        kp, ke, kt, kb = jax.random.split(key, 4)
 
-        # receivers: one jittered pixel sample each (detached)
+        # camera samples: one jittered pixel each (detached)
         uv_pix = jax.random.uniform(kp, (n_samples, 2))
         ro, rd = eval_camera(scene_d, cam, uv_pix,
                              jnp.zeros((n_samples, 2)))
         isec = hit_fn(scene_d, ro, rd)
-        inst_r = jnp.maximum(isec.instance, 0)
-        gelem = (scene_d.shape_elem_start[scene_d.inst_shape[inst_r]]
-                 + jnp.maximum(isec.element, 0))
-        y = eval_position(scene_d, inst_r, gelem, isec.uv)
-        ny = eval_element_normal(scene_d, inst_r, gelem)
-        mat_r = scene_d.inst_material[inst_r]
-        alb = scene_d.mat_color[mat_r]
-        receiver_ok = (isec.hit
-                       & (scene_d.mat_type[mat_r] == 0)   # matte
-                       & (M.maxc(scene_d.mat_emission[mat_r]) == 0.0))
-        ny = jnp.where(M.dot(ny, rd)[:, None] > 0, -ny, ny)
 
-        # edge points (ATTACHED through the vertex pool)
+        # edge points (ATTACHED through the vertex pool), shared by all
+        # receiver generations — each generation projects the same edge
+        # sample from its own receiver, an independent unbiased estimator
         eidx = jax.random.randint(ke, (n_samples,), 0, E)
         t = jax.random.uniform(kt, (n_samples,))
         ev = edges.e_verts[eidx]
@@ -347,110 +359,152 @@ def make_shadow_edge_term(edges: EdgeTable, light: RectLight, params,
         v0a = _world_vert(scene_a, ev[:, 0], inst_e)
         v1a = _world_vert(scene_a, ev[:, 1], inst_e)
         x_a = v0a + (v1a - v0a) * t[:, None]
-
-        def proj(xx):
-            """Project xx from y onto the light plane: z = y + (xx-y) s."""
-            dirv = xx - y
-            denom = jnp.sum(dirv * n_l, axis=-1)
-            s_raw = (jnp.sum((c0 - y) * n_l, axis=-1)
-                     / jnp.where(denom == 0.0, 1e-20, denom))
-            # grazing edges give astronomically distant projections; those
-            # samples must stay finite (masked-out lanes must not inject
-            # inf - inf = NaN into the scatter) but the clamp must not
-            # bias legitimate in-scope samples, so out-of-range s is
-            # REPLACED (detached constant), never saturated: a replaced
-            # sample projects far outside the light rect and fails the
-            # `inside` gate instead of contributing a clipped-z gradient
-            grazing = jnp.abs(s_raw) > 1e4
-            s = jnp.where(grazing, jax.lax.stop_gradient(
-                jnp.sign(s_raw) * 1e4), s_raw)
-            return y + dirv * s[:, None], s
-
-        z_a, s_a = proj(x_a)
-        s_d = sg(s_a)
-
-        # detached curve speed |dz/dt| (the edge's image on the light
-        # plane is traversed non-uniformly in t: projective map)
         v0d, v1d = sg(v0a), sg(v1a)
-
-        def z_of_t(tt):
-            return proj(v0d + (v1d - v0d) * tt[:, None])[0]
-
-        z_d, dz_dt = jax.jvp(z_of_t, (t,), (jnp.ones_like(t),))
-        dl = jnp.linalg.norm(dz_dt, axis=-1)
-
-        # the blocker must sit strictly between receiver and light plane;
-        # grazing projections (|s| pinned at 1e4 by proj) are dropped
-        # outright — bias bound: they need the receiver within ~1e-4 of
-        # the occluder plane, measure-zero in the FD test scenes
-        between = (s_d > 1.0 + 1e-4) & (jnp.abs(s_d) < 1e4)
-
-        # inside the light rectangle (detached)
-        dz0 = z_d - c0
-        lu = jnp.sum(dz0 * le1, axis=-1) * inv_l1
-        lv = jnp.sum(dz0 * le2, axis=-1) * inv_l2
-        inside = (lu >= 0) & (lu <= 1) & (lv >= 0) & (lv <= 1)
-
-        # shadow silhouette from the receiver: boundary edges of open
-        # sheets always block; interior edges need exactly one face
-        # fronting y (two-sided blocking, unlike the camera case)
-        view = sg(x_a) - y
-        n1 = _face_normal(scene_d, edges.f1_verts[eidx], inst_e)
-        n2 = _face_normal(scene_d, edges.f2_verts[eidx], inst_e)
-        front1 = M.dot(n1, view) < 0.0
-        front2 = M.dot(n2, view) < 0.0
-        silho = edges.boundary[eidx] | (front1 != front2)
-
-        # NEE integrand g(z) at the curve (detached)
-        dvec = z_d - y
-        r2 = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-12)
-        wdir = dvec / jnp.sqrt(r2)[:, None]
-        cos_y = jnp.sum(ny * wdir, axis=-1)
-        # two-sided |cos_l| matches the interior estimator: shading
-        # normals flip toward outgoing (sceneval.eval_shading_normal), so
-        # emissive quads radiate from both faces (see module docstring)
-        cos_l = jnp.abs(jnp.sum(n_l * wdir, axis=-1))
-        g = (alb / jnp.pi) * Le[None, :] * (
-            jnp.maximum(cos_y, 0.0) * cos_l / r2)[:, None]
-
-        # in-plane curve normal, oriented INTO the blocked region (the
-        # occluder interior's own projection): outward of the visible set
-        tang = dz_dt / jnp.maximum(dl, 1e-12)[:, None]
-        nhat = jnp.cross(jnp.broadcast_to(n_l, tang.shape), tang)
-        ffront = jnp.where(front1[:, None], edges.f1_verts[eidx],
-                           edges.f2_verts[eidx])
-        centroid = (_world_vert(scene_d, ffront[:, 0], inst_e)
-                    + _world_vert(scene_d, ffront[:, 1], inst_e)
-                    + _world_vert(scene_d, ffront[:, 2], inst_e)
-                    + _world_vert(scene_d, ffront[:, 3], inst_e)) / 4.0
-        c_z, c_s = proj(centroid)
-        away = jnp.sum((sg(c_z) - z_d) * nhat, axis=-1) < 0.0
-        nhat = jnp.where(away[:, None], -nhat, nhat)
-
-        # receiver -> edge visibility (ADVICE r3): an edge hidden from y
-        # by other geometry must not inject gradient. The detached ray
-        # y -> x grazes the occluder AT x, so "blocked" means a hit
-        # strictly before the edge point (rel tol; the grazing self-hit
-        # lands at ~|x - y| and passes).
         x_d = sg(x_a)
-        to_x = x_d - y
-        dist_x = jnp.linalg.norm(to_x, axis=-1)
-        dir_x = to_x / jnp.maximum(dist_x, 1e-12)[:, None]
-        occ = hit_fn(scene_d, y + ny * 1e-4, dir_x)
-        edge_visible = ~(occ.hit & (occ.distance < dist_x * (1.0 - 1e-3)))
 
-        valid = (receiver_ok & between & inside & silho & (cos_y > 0)
-                 & edge_visible)
-        weight = dl * (E * width * height / n_samples)
-        coef = jnp.where(valid[:, None], g * weight[:, None], 0.0)
-
-        ns = jnp.sum(nhat * z_a, axis=-1)
-        carrier = (ns - sg(ns))[:, None]
         px = jnp.clip((uv_pix[:, 0] * width).astype(jnp.int32),
                       0, width - 1)
         py = jnp.clip((uv_pix[:, 1] * height).astype(jnp.int32),
                       0, height - 1)
-        return (jnp.zeros((height, width, 3), jnp.float32)
-                .at[py, px].add(sg(coef) * carrier))
+        img = jnp.zeros((height, width, 3), jnp.float32)
+
+        def receiver_fields(cur_isec, cur_rd):
+            inst_r = jnp.maximum(cur_isec.instance, 0)
+            gelem = (scene_d.shape_elem_start[scene_d.inst_shape[inst_r]]
+                     + jnp.maximum(cur_isec.element, 0))
+            y = eval_position(scene_d, inst_r, gelem, cur_isec.uv)
+            ny = eval_element_normal(scene_d, inst_r, gelem)
+            mat_r = scene_d.inst_material[inst_r]
+            alb = scene_d.mat_color[mat_r]
+            matte = (cur_isec.hit
+                     & (scene_d.mat_type[mat_r] == 0)
+                     & (M.maxc(scene_d.mat_emission[mat_r]) == 0.0))
+            ny = jnp.where(M.dot(ny, cur_rd)[:, None] > 0, -ny, ny)
+            return y, ny, alb, matte
+
+        def generation_term(y, ny, alb, ok, W):
+            """Boundary term at one receiver generation (all detached
+            except the z_a projection of the attached edge point)."""
+
+            def proj(xx):
+                """Project xx from y onto the light plane:
+                z = y + (xx - y) s."""
+                dirv = xx - y
+                denom = jnp.sum(dirv * n_l, axis=-1)
+                s_raw = (jnp.sum((c0 - y) * n_l, axis=-1)
+                         / jnp.where(denom == 0.0, 1e-20, denom))
+                # grazing edges give astronomically distant projections;
+                # those samples must stay finite (masked-out lanes must
+                # not inject inf - inf = NaN into the scatter) but the
+                # clamp must not bias legitimate in-scope samples, so
+                # out-of-range s is REPLACED (detached constant), never
+                # saturated: a replaced sample projects far outside the
+                # light rect and fails the `inside` gate instead of
+                # contributing a clipped-z gradient
+                grazing = jnp.abs(s_raw) > 1e4
+                s = jnp.where(grazing, jax.lax.stop_gradient(
+                    jnp.sign(s_raw) * 1e4), s_raw)
+                return y + dirv * s[:, None], s
+
+            z_a, s_a = proj(x_a)
+            s_d = sg(s_a)
+
+            # detached curve speed |dz/dt| (the edge's image on the light
+            # plane is traversed non-uniformly in t: projective map)
+            def z_of_t(tt):
+                return proj(v0d + (v1d - v0d) * tt[:, None])[0]
+
+            z_d, dz_dt = jax.jvp(z_of_t, (t,), (jnp.ones_like(t),))
+            dl = jnp.linalg.norm(dz_dt, axis=-1)
+
+            # the blocker must sit strictly between receiver and light
+            # plane; grazing projections (|s| pinned at 1e4 by proj) are
+            # dropped outright — bias bound: they need the receiver
+            # within ~1e-4 of the occluder plane, measure-zero in the FD
+            # test scenes
+            between = (s_d > 1.0 + 1e-4) & (jnp.abs(s_d) < 1e4)
+
+            # inside the light rectangle (detached)
+            dz0 = z_d - c0
+            lu = jnp.sum(dz0 * le1, axis=-1) * inv_l1
+            lv = jnp.sum(dz0 * le2, axis=-1) * inv_l2
+            inside = (lu >= 0) & (lu <= 1) & (lv >= 0) & (lv <= 1)
+
+            # shadow silhouette from the receiver: boundary edges of open
+            # sheets always block; interior edges need exactly one face
+            # fronting y (two-sided blocking, unlike the camera case)
+            view = x_d - y
+            n1 = _face_normal(scene_d, edges.f1_verts[eidx], inst_e)
+            n2 = _face_normal(scene_d, edges.f2_verts[eidx], inst_e)
+            front1 = M.dot(n1, view) < 0.0
+            front2 = M.dot(n2, view) < 0.0
+            silho = edges.boundary[eidx] | (front1 != front2)
+
+            # NEE integrand g(z) at the curve (detached)
+            dvec = z_d - y
+            r2 = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-12)
+            wdir = dvec / jnp.sqrt(r2)[:, None]
+            cos_y = jnp.sum(ny * wdir, axis=-1)
+            # two-sided |cos_l| matches the interior estimator: shading
+            # normals flip toward outgoing (sceneval.eval_shading_normal),
+            # so emissive quads radiate from both faces (module docstring)
+            cos_l = jnp.abs(jnp.sum(n_l * wdir, axis=-1))
+            g = (alb / jnp.pi) * W * Le[None, :] * (
+                jnp.maximum(cos_y, 0.0) * cos_l / r2)[:, None]
+
+            # in-plane curve normal, oriented INTO the blocked region (the
+            # occluder interior's own projection): outward of the visible
+            tang = dz_dt / jnp.maximum(dl, 1e-12)[:, None]
+            nhat = jnp.cross(jnp.broadcast_to(n_l, tang.shape), tang)
+            ffront = jnp.where(front1[:, None], edges.f1_verts[eidx],
+                               edges.f2_verts[eidx])
+            centroid = (_world_vert(scene_d, ffront[:, 0], inst_e)
+                        + _world_vert(scene_d, ffront[:, 1], inst_e)
+                        + _world_vert(scene_d, ffront[:, 2], inst_e)
+                        + _world_vert(scene_d, ffront[:, 3], inst_e)) / 4.0
+            c_z, _ = proj(centroid)
+            away = jnp.sum((sg(c_z) - z_d) * nhat, axis=-1) < 0.0
+            nhat = jnp.where(away[:, None], -nhat, nhat)
+
+            # receiver -> edge visibility (ADVICE r3): an edge hidden
+            # from y by other geometry must not inject gradient. The
+            # detached ray y -> x grazes the occluder AT x, so "blocked"
+            # means a hit strictly before the edge point (rel tol; the
+            # grazing self-hit lands at ~|x - y| and passes).
+            to_x = x_d - y
+            dist_x = jnp.linalg.norm(to_x, axis=-1)
+            dir_x = to_x / jnp.maximum(dist_x, 1e-12)[:, None]
+            occ = hit_fn(scene_d, y + ny * 1e-4, dir_x)
+            edge_visible = ~(occ.hit
+                             & (occ.distance < dist_x * (1.0 - 1e-3)))
+
+            valid = (ok & between & inside & silho & (cos_y > 0)
+                     & edge_visible)
+            weight = dl * (E * width * height / n_samples)
+            coef = jnp.where(valid[:, None], g * weight[:, None], 0.0)
+            ns = jnp.sum(nhat * z_a, axis=-1)
+            carrier = (ns - sg(ns))[:, None]
+            return sg(coef) * carrier
+
+        cur_isec, cur_rd = isec, rd
+        W = jnp.ones((n_samples, 3), jnp.float32)  # detached throughput
+        alive = jnp.ones(n_samples, jnp.bool_)
+        for k in range(depth):
+            y, ny, alb, matte = receiver_fields(cur_isec, cur_rd)
+            ok = alive & matte
+            img = img.at[py, px].add(generation_term(y, ny, alb, ok, W))
+            if k + 1 < depth:
+                # extend the detached receiver path by one cosine-sampled
+                # matte bounce; f/pdf == albedo cancels exactly
+                # (pathtrace.py matte branch under cosine sampling)
+                u = jax.random.uniform(jax.random.fold_in(kb, k),
+                                       (n_samples, 2))
+                newdir = SMP.sample_hemisphere_cos(u, ny)
+                nro = y + ny * 1e-4
+                cur_isec = hit_fn(scene_d, nro, newdir)
+                W = W * alb
+                alive = ok & cur_isec.hit
+                cur_rd = newdir
+        return img
 
     return shadow_term
