@@ -104,3 +104,33 @@ def test_cluster_tile_stats():
     assert 0 < mean_c <= isect.n_clusters
     assert max_c <= isect.n_clusters
     assert overflow == 0
+
+
+def test_cluster_any_hit_matches_bruteforce():
+    """any_hit == (bruteforce closest-hit exists within tmax), both for
+    unbounded and per-lane shadow-ray tmax (find_any semantics,
+    yocto_bvh.cpp:540-552)."""
+    scene = _multi_sphere_scene()
+    flat = compile_scene(scene)
+    feats = scene_features(scene)
+    isect = make_cluster_intersector(scene, kinds=feats.kinds,
+                                     interpret=True)
+    assert isect is not None
+    ro, rd = _rays(512, seed=3)
+    want_full = intersect_scene_bruteforce(flat, jnp.asarray(ro),
+                                           jnp.asarray(rd),
+                                           kinds=feats.kinds)
+    got = isect.any_hit(jnp.asarray(ro), jnp.asarray(rd))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(want_full.hit))
+
+    # shadow-ray tmax: block only when the closest hit is nearer
+    dist = np.asarray(want_full.distance)
+    tmax = np.where(np.asarray(want_full.hit), dist * 0.5, 1.0)
+    got_t = isect.any_hit(jnp.asarray(ro), jnp.asarray(rd),
+                          tmax=jnp.asarray(tmax.astype(np.float32)))
+    want_t = intersect_scene_bruteforce(
+        flat, jnp.asarray(ro), jnp.asarray(rd),
+        tmax=jnp.asarray(tmax.astype(np.float32)), kinds=feats.kinds)
+    np.testing.assert_array_equal(np.asarray(got_t),
+                                  np.asarray(want_t.hit))

@@ -296,3 +296,51 @@ def test_megakernel_env_qualification():
         emission=np.ones(3, np.float32), emission_tex=0))
     scene.environment_names.append("sky")
     assert not supports_pallas_path(scene, scene_features(scene), params)
+
+
+def test_megakernel_multisample_matches_sequential():
+    """spp_inner=k (device-side sample loop + in-kernel camera rays)
+    equals k sequential one-sample megakernel runs: same chained PCG32
+    streams, same per-sample clamp, same accumulators."""
+    scene = make_cornellbox()
+    spp = 2
+    params = TraceParams(resolution=8, samples=spp, bounces=3,
+                         sampler=SamplerType.path)
+    assert supports_pallas_path(scene, scene_features(scene), params)
+    r = Renderer(scene, params)
+
+    # sequential reference: the one-sample kernel driven by the host
+    run = make_pallas_path_sampler(scene, params, interpret=True)
+    state = make_trace_state(scene, params)
+    rngs = state.rng
+    img = np.zeros((8 * 8, 3), np.float32)
+    hits = np.zeros(8 * 8, np.int64)
+    for s in range(spp):
+        ro, rd, rngs = sample_camera_rays(r.flat, 0, 8, 8, rngs, False)
+        radiance, hit, alb, nrm, rngs = run(ro, rd, rngs)
+        rad = np.nan_to_num(np.asarray(radiance), nan=0.0)
+        mx = rad.max(-1)
+        scale = np.where(mx > params.clamp,
+                         params.clamp / np.maximum(mx, 1e-20), 1.0)
+        rad = rad * scale[:, None]
+        rad = np.where(np.asarray(hit)[:, None], rad, 0.0)
+        img += rad
+        hits += np.asarray(hit)
+
+    step = make_pallas_path_sampler(scene, params, interpret=True,
+                                    spp_inner=spp)
+    jj, ii = jnp.meshgrid(jnp.arange(8, dtype=jnp.float32),
+                          jnp.arange(8, dtype=jnp.float32),
+                          indexing="ij")
+    img_sum, alb_sum, nrm_sum, hits_sum, rngs_ms = step(
+        ii.reshape(-1), jj.reshape(-1), state.rng)
+
+    np.testing.assert_allclose(np.asarray(img_sum)[:, :3], img,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(hits_sum).astype(np.int64),
+                                  hits)
+    # the chained streams END at the same state as sequential sampling
+    np.testing.assert_array_equal(np.asarray(rngs_ms.state_hi),
+                                  np.asarray(rngs.state_hi))
+    np.testing.assert_array_equal(np.asarray(rngs_ms.state_lo),
+                                  np.asarray(rngs.state_lo))

@@ -114,3 +114,31 @@ def test_wavefront_pathdirect_matches_lockstep():
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 1.5e-2
     assert np.abs(img - ref).mean() < 0.08
+
+
+def test_pathmis_two_pass_nee_matches_one_pass():
+    """The two-pass NEE connection (emissive-closest + any-hit shadow)
+    must reproduce the one-pass full-closest-hit contribution: same rng
+    draws, same light-strategy radiance (up to intersector-uv ulps)."""
+    import dataclasses
+
+    from yocto_tpu.models.examples import make_cornellbox_pbr
+    from yocto_tpu.trace.wavefront import WavefrontPathmisRenderer
+
+    scene = make_cornellbox_pbr()
+    params = TraceParams(resolution=24, samples=1, bounces=3,
+                         sampler=SamplerType.pathmis, spp_batch=1,
+                         intersector="cluster")
+    r2 = WavefrontPathmisRenderer(scene, params)
+    assert r2._cluster is not None and r2._nee is not None, \
+        "pbr cornell must engage the cluster intersector + two-pass NEE"
+    img2, *_ = r2.render_sample(r2.flat, r2.lights, 0)
+
+    r1 = WavefrontPathmisRenderer(scene, params)
+    r1._nee = None
+    r1._jits.clear()
+    img1, *_ = r1.render_sample(r1.flat, r1.lights, 0)
+
+    a, b = np.asarray(img2), np.asarray(img1)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

@@ -94,7 +94,7 @@ def _shape_order_and_kind(shape):
     return pos, rad, verts, kind
 
 
-def _bvh_treelets(sb, cluster):
+def _bvh_treelets(sb, cluster, merge_area_ratio=None):
     """Maximal BVH subtrees with <= cluster primitives.
 
     The builder partitions the primitive permutation recursively, so every
@@ -142,13 +142,28 @@ def _bvh_treelets(sb, cluster):
     # neighbors while the sum fits keeps ranges contiguous; the union
     # bbox is looser, but fewer/fuller blocks won on features1 (1289 ->
     # ~870 clusters, same total tests per full block).
+    def _half_area(lo, hi):
+        d = np.maximum(hi - lo, 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
     packed = []
     for tl in out:
         if (packed and packed[-1][1] + tl[1] <= cluster
                 and tl[0] == packed[-1][0] + packed[-1][1]):
             s, c, blo, bhi = packed[-1]
-            packed[-1] = (s, c + tl[1], np.minimum(blo, tl[2]),
-                          np.maximum(bhi, tl[3]))
+            ulo = np.minimum(blo, tl[2])
+            uhi = np.maximum(bhi, tl[3])
+            # SAH-flavored merge gate (merge_area_ratio): refuse merges
+            # whose union bbox is much bigger than the parts — a loose
+            # union makes every tile's cull hit the cluster, trading
+            # fill for wasted sweep slots. None = always merge (the
+            # round-2 greedy packing).
+            if (merge_area_ratio is not None
+                    and _half_area(ulo, uhi) > merge_area_ratio
+                    * (_half_area(blo, bhi) + _half_area(tl[2], tl[3]))):
+                packed.append(list(tl))
+            else:
+                packed[-1] = (s, c + tl[1], ulo, uhi)
         else:
             packed.append(list(tl))
     return [tuple(p) for p in packed]
@@ -162,7 +177,8 @@ VAR_POINT = 3  # instance-local points
 
 
 def build_cluster_tables(scene: SceneData, cluster: int = CLUSTER,
-                         highquality: bool = False):
+                         highquality: bool = False,
+                         merge_area_ratio=None):
     """Host build -> (prims [32, C*cluster], cbmin [C,3], cbmax [C,3],
     ckind [C]).
 
@@ -197,7 +213,8 @@ def build_cluster_tables(scene: SceneData, cluster: int = CLUSTER,
             eb = HB.shape_element_bounds(scene.shapes[inst.shape])
             sb = HB.make_bvh(eb, highquality)
             shape_cache[inst.shape] = (
-                sb.primitives.astype(np.int64), _bvh_treelets(sb, cluster))
+                sb.primitives.astype(np.int64),
+                _bvh_treelets(sb, cluster, merge_area_ratio))
         order, treelets = shape_cache[inst.shape]
         n = len(order)
         frame = np.asarray(inst.frame, np.float32)
@@ -279,11 +296,17 @@ def _tri_isect_pre(rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     return hit, u, v, t
 
 
-def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, variant):
+def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, variant,
+                 anyhit=False):
     """Candidate sweep for one (ray tile, cluster) block; improves the
     best-hit state in outf/outi in place (cross-slot VMEM accumulation;
     strict-< keeps the earlier slot on exact ties). First-closest
     semantics identical to pallas_intersect._subtile.
+
+    `anyhit`: shadow-ray mode (yocto_bvh.cpp:540-552 find_any): a lane is
+    done the moment ANY candidate hits in (tmin, tmax) — best_t is pinned
+    to 0 so the slot loop's ordered early-out retires it immediately, and
+    the closest-hit pick/select epilogue is skipped entirely.
 
     `variant` statically selects the cluster layout + primitive test:
       VAR_TRI / VAR_QUAD  world-space vertices with precomputed
@@ -396,6 +419,15 @@ def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, variant):
                 v = jnp.zeros_like(tp)
                 t = jnp.where(hit, tp, M.flt_max)
 
+        if anyhit:
+            got = jnp.max(jnp.where(hit, 1.0, 0.0), axis=1, keepdims=True)
+            best_hit = jnp.maximum(best_hit, got)
+            # pin best_t to 0 for hit lanes: can_improve's ce < bt test
+            # retires them, and tmax <= 0 fails every later candidate
+            best_t = jnp.where(best_hit > 0.0, 0.0, best_t)
+            tmax = jnp.minimum(tmax, best_t)
+            continue
+
         dist = jnp.where(hit, t, M.flt_max)
         dmin = jnp.min(dist, axis=1, keepdims=True)
         lanes = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
@@ -428,7 +460,7 @@ def _subtile_acc(rays_ref, prims_ref, outf_ref, outi_ref, *, cpad, variant):
 
 def _sweep_kernel(rays_ref, clist_ref, centry_ref, ckind_ref, prims_ref,
                   outf_ref, outi_ref, buf_ref, sem_ref, *, cluster,
-                  variants):
+                  variants, anyhit=False):
     """One program per ray tile: dynamic while-loop over the tile's
     entry-sorted cluster slots with ordered-traversal early-out.
 
@@ -487,14 +519,16 @@ def _sweep_kernel(rays_ref, clist_ref, centry_ref, ckind_ref, prims_ref,
         fetch(slot, clist_ref[0, 0, slot]).wait()
         if len(variants) == 1:
             _subtile_acc(rays_ref, buf_ref.at[slot % 2], outf_ref,
-                         outi_ref, cpad=cluster, variant=variants[0])
+                         outi_ref, cpad=cluster, variant=variants[0],
+                         anyhit=anyhit)
         else:
             ck = ckind_ref[0, 0, slot]
             for vr in variants:
                 @pl.when(ck == vr)
                 def _(vr=vr):
                     _subtile_acc(rays_ref, buf_ref.at[slot % 2], outf_ref,
-                                 outi_ref, cpad=cluster, variant=vr)
+                                 outi_ref, cpad=cluster, variant=vr,
+                                 anyhit=anyhit)
         cont = nxt_pre & can_improve(slot + 1)
 
         # a prefetch that post-sweep early-out discards must still be
@@ -512,9 +546,9 @@ def _sweep_kernel(rays_ref, clist_ref, centry_ref, ckind_ref, prims_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("cluster", "variants", "interpret",
-                              "ray_tile"))
+                              "ray_tile", "anyhit"))
 def _run_sweep(rays, prims, clist, centry, ckind, cluster, variants,
-               interpret, ray_tile=RAY_TILE):
+               interpret, ray_tile=RAY_TILE, anyhit=False):
     rpad = rays.shape[0]
     ntiles = rpad // ray_tile
     max_slots = clist.shape[1]
@@ -523,7 +557,7 @@ def _run_sweep(rays, prims, clist, centry, ckind, cluster, variants,
     ckind = ckind[:, None, :]
     return pl.pallas_call(
         functools.partial(_sweep_kernel, cluster=cluster,
-                          variants=variants),
+                          variants=variants, anyhit=anyhit),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((ray_tile, 16), lambda i: (i, 0),
@@ -612,10 +646,11 @@ class ClusterIntersector:
     def __init__(self, scene_host: SceneData, kinds=None, interpret=None,
                  cluster: int = CLUSTER, max_slots: int = 192,
                  highquality: bool = False, sort_rays: bool = True,
-                 ray_tile: int = RAY_TILE):
+                 ray_tile: int = RAY_TILE, merge_area_ratio=None):
         self.sort_rays = sort_rays
         self.ray_tile = ray_tile
-        built = build_cluster_tables(scene_host, cluster, highquality)
+        built = build_cluster_tables(scene_host, cluster, highquality,
+                                     merge_area_ratio)
         if built is None:
             raise ValueError("scene has no candidates")
         prims, cb_lo, cb_hi, c_kind = built
@@ -711,6 +746,51 @@ class ClusterIntersector:
             uv=jnp.where(hit[:, None], outf[:, 2:4], 0.0),
             distance=jnp.where(hit, outf[:, 1], M.flt_max))
 
+    def any_hit(self, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
+        """Shadow-ray query: True where ANY candidate lies in (tmin,
+        tmax) (yocto_bvh.cpp:540-552 find_any semantics). Same cull +
+        sort pipeline as closest-hit, but each lane retires at its first
+        hit and the select epilogue is skipped; with tmax = distance to
+        the light, the cull also drops every cluster beyond it."""
+        R = ro.shape[0]
+        rpad = ((R + self.ray_tile - 1) // self.ray_tile) * self.ray_tile
+        ntiles = rpad // self.ray_tile
+        tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (R,))
+        tmax_b = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (R,))
+
+        if self.sort_rays:
+            order = jnp.argsort(ray_sort_keys(ro, rd))
+            ro, rd = ro[order], rd[order]
+            tmin_b, tmax_b = tmin_b[order], tmax_b[order]
+
+        def pad(x, fill=0.0):
+            if rpad == R:
+                return x
+            width = ((0, rpad - R),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, width, constant_values=fill)
+
+        ro_p, rd_p = pad(ro), pad(rd)
+        tmin_p = pad(tmin_b, 1.0)
+        tmax_p = pad(tmax_b, 0.0)
+        clist, centry, maxent, _ = self._tile_clusters(
+            ro_p, rd_p, tmin_p, tmax_p, ntiles)
+        rays = jnp.concatenate(
+            [ro_p, rd_p, tmin_p[:, None], tmax_p[:, None],
+             maxent[:, None],
+             jnp.zeros((rpad, 7), jnp.float32)], axis=1)
+        ckind = jnp.where(clist >= 0,
+                          self.c_kind[jnp.maximum(clist, 0)], 0)
+        outf, _ = _run_sweep(rays, self.prims, clist, centry, ckind,
+                             self.cluster, self.variants,
+                             self.interpret, ray_tile=self.ray_tile,
+                             anyhit=True)
+        hit = outf[:R, 0] > 0.0
+        if self.sort_rays:
+            inv = jnp.zeros(R, jnp.int32).at[order].set(
+                jnp.arange(R, dtype=jnp.int32))
+            hit = hit[inv]
+        return hit
+
     def tile_stats(self, ro, rd, tmin=RAY_EPS, tmax=M.flt_max):
         """Diagnostics: (mean clusters/tile, max clusters/tile, overflow
         tile count) for a ray batch (after the coherence sort)."""
@@ -738,7 +818,8 @@ def make_cluster_intersector(scene_host: SceneData, kinds=None,
                              max_slots: int = 192,
                              highquality: bool = False,
                              sort_rays: bool = True,
-                             ray_tile: int = RAY_TILE):
+                             ray_tile: int = RAY_TILE,
+                             merge_area_ratio=None):
     """Factory mirroring make_pallas_bruteforce_intersector's signature.
     Returns None for scenes small enough that the dense sweep wins."""
     ncands = 0
@@ -753,6 +834,7 @@ def make_cluster_intersector(scene_host: SceneData, kinds=None,
                                   interpret=interpret, cluster=cluster,
                                   max_slots=max_slots,
                                   highquality=highquality,
-                                  sort_rays=sort_rays, ray_tile=ray_tile)
+                                  sort_rays=sort_rays, ray_tile=ray_tile,
+                                  merge_area_ratio=merge_area_ratio)
     except ValueError:
         return None

@@ -311,9 +311,20 @@ def _ggx_g1(rough, cosn, cosh):
     return jnp.where(cosn * cosh <= 0.0, 0.0, g)
 
 
-def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
+def make_pallas_path_sampler(scene: SceneData, params, interpret=None,
+                             spp_inner: int = 0):
     """Returns run(ro, rd, rngs) -> (radiance, hit, albedo, normal, rngs)
-    matching the lockstep sampler interface, or None if unsupported."""
+    matching the lockstep sampler interface, or None if unsupported.
+
+    With `spp_inner` = k > 0 the returned callable is instead
+    step(i, j, rngs) -> (img_sum [N,4], albedo_sum, normal_sum,
+    hits_sum, rngs): the kernel generates its own camera rays and runs k
+    FULL samples per pixel in ONE launch, chaining the per-pixel PCG32
+    streams exactly as k sequential lockstep samples would (camera luv
+    then puv draws first, yocto_trace.cpp:1465-1467 order) and applying
+    the per-sample clamp + NaN scrub (yocto_trace.cpp:1471-1475) before
+    summing. One dispatch instead of k: the host->device enqueue
+    (~1 ms through this tunnel) stops bounding throughput."""
     cands, lights = _host_scene_tables(scene)
     # constant-color environments (qualification rejects textured ones):
     # the miss emission is the compile-time sum over all envs
@@ -516,13 +527,11 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             dz = jnp.where(is_env, z, dz)
         return dx, dy, dz
 
-    def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
-               sh_r, sl_r, ih_r, il_r,
-               rr_r, rg_r, rb_r, hit_r, ar_r, ag_r, ab_r,
-               nx_r, ny_r, nz_r, osh_r, osl_r):
-        rox, roy, roz = rox_r[:], roy_r[:], roz_r[:]
-        rdx, rdy, rdz = rdx_r[:], rdy_r[:], rdz_r[:]
-        rng = R.RngState(sh_r[:], sl_r[:], ih_r[:], il_r[:])
+    def trace_paths(rox, roy, roz, rdx, rdy, rdz, rng):
+        """The full bounce loop on [rows, LANE] planes; returns
+        (lr, lg, lb, first_hit, aov, rng). Shared by the one-sample
+        kernel (camera rays as inputs) and the multi-sample kernel
+        (camera rays generated in-kernel per sample)."""
         shape = rox.shape
         wr = jnp.ones(shape, jnp.float32)
         wg = jnp.ones(shape, jnp.float32)
@@ -892,6 +901,16 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
             rdy = jnp.where(shade, iy, rdy)
             rdz = jnp.where(shade, iz, rdz)
 
+        return lr, lg, lb, first_hit, aov, rng
+
+    def kernel(rox_r, roy_r, roz_r, rdx_r, rdy_r, rdz_r,
+               sh_r, sl_r, ih_r, il_r,
+               rr_r, rg_r, rb_r, hit_r, ar_r, ag_r, ab_r,
+               nx_r, ny_r, nz_r, osh_r, osl_r):
+        rng = R.RngState(sh_r[:], sl_r[:], ih_r[:], il_r[:])
+        lr, lg, lb, first_hit, aov, rng = trace_paths(
+            rox_r[:], roy_r[:], roz_r[:], rdx_r[:], rdy_r[:], rdz_r[:],
+            rng)
         rr_r[:] = lr
         rg_r[:] = lg
         rb_r[:] = lb
@@ -956,4 +975,202 @@ def make_pallas_path_sampler(scene: SceneData, params, interpret=None):
                               rngs.inc_lo)
         return radiance, hit, albedo, normal, rngs_out
 
-    return run
+    if not spp_inner:
+        return run
+
+    # ------------------------------------------------------------------
+    # multi-sample kernel: camera rays generated in-kernel, spp_inner
+    # full samples per launch (device-side sample loop)
+    # ------------------------------------------------------------------
+    cam = scene.cameras[params.camera]
+    cfr = np.asarray(cam.frame, np.float32)
+    c_lens = float(cam.lens)
+    c_focus = float(cam.focus)
+    c_aperture = float(cam.aperture)
+    c_ortho = bool(cam.orthographic)
+    c_film = float(cam.film)
+    c_aspect = float(cam.aspect)
+    film_x = c_film if c_aspect >= 1.0 else c_film * c_aspect
+    film_y = c_film / c_aspect if c_aspect >= 1.0 else c_film
+    if c_aspect >= 1.0:
+        k_width = int(params.resolution)
+        k_height = int(round(params.resolution / c_aspect))
+    else:
+        k_height = int(params.resolution)
+        k_width = int(round(params.resolution * c_aspect))
+    clamp = float(params.clamp)
+    accum_misses = has_env and not envhidden
+    tent = bool(params.tentfilter)
+
+    def camera_ray(iplane, jplane, rng):
+        """sample_camera + eval_camera on planes, same draw order as
+        renderer.sample_camera_rays (luv FIRST, then puv)."""
+        # rand2f draws x then y sequentially (ops/rng.rand2f); planes
+        # stay 2-D (a stacked [.., 2] trailing axis tiles badly in
+        # Mosaic, CLAUDE.md)
+        l0, rng = R.rand1f(rng)
+        l1, rng = R.rand1f(rng)
+        p0, rng = R.rand1f(rng)
+        p1, rng = R.rand1f(rng)
+        if tent:
+            p0 = jnp.where(p0 < 0.5, jnp.sqrt(2.0 * p0) - 1.0,
+                           1.0 - jnp.sqrt(2.0 - 2.0 * p0)) * 2.0 + 0.5
+            p1 = jnp.where(p1 < 0.5, jnp.sqrt(2.0 * p1) - 1.0,
+                           1.0 - jnp.sqrt(2.0 - 2.0 * p1)) * 2.0 + 0.5
+        u = (iplane + p0) / float(k_width)
+        v = (jplane + p1) / float(k_height)
+        qx = film_x * (0.5 - u)
+        qy = film_y * (v - 0.5)
+        # sample_disk(luv) scaled by aperture/2 (zero aperture folds out)
+        dr_ = jnp.sqrt(l1)
+        dphi = 2.0 * M.pif * l0
+        ex = jnp.cos(dphi) * dr_ * (c_aperture / 2.0)
+        ey = jnp.sin(dphi) * dr_ * (c_aperture / 2.0)
+        if not c_ortho:
+            # dc = -normalize([qx, qy, lens]); p = dc * focus/|dc_z|
+            qn = jnp.sqrt(qx * qx + qy * qy + c_lens * c_lens)
+            dcx, dcy, dcz = -qx / qn, -qy / qn, -c_lens / qn
+            s = c_focus / jnp.abs(dcz)
+            dx0 = dcx * s - ex
+            dy0 = dcy * s - ey
+            dz0 = dcz * s
+            dx, dy, dz = _normalize3(dx0, dy0, dz0)
+            ez = jnp.zeros_like(ex)
+        else:
+            scale = 1.0 / c_lens
+            ex = -qx * scale + ex
+            ey = -qy * scale + ey
+            ez = jnp.zeros_like(ex)
+            dx0 = jnp.zeros_like(ex)
+            dy0 = jnp.zeros_like(ex)
+            dz0 = jnp.full_like(ex, -c_focus)
+            dx, dy, dz = _normalize3(dx0, dy0, dz0)
+        # frame transform (rows of cfr are the basis vectors)
+        rox = (ex * cfr[0, 0] + ey * cfr[1, 0] + ez * cfr[2, 0]
+               + cfr[3, 0])
+        roy = (ex * cfr[0, 1] + ey * cfr[1, 1] + ez * cfr[2, 1]
+               + cfr[3, 1])
+        roz = (ex * cfr[0, 2] + ey * cfr[1, 2] + ez * cfr[2, 2]
+               + cfr[3, 2])
+        rdx = dx * cfr[0, 0] + dy * cfr[1, 0] + dz * cfr[2, 0]
+        rdy = dx * cfr[0, 1] + dy * cfr[1, 1] + dz * cfr[2, 1]
+        rdz = dx * cfr[0, 2] + dy * cfr[1, 2] + dz * cfr[2, 2]
+        return rox, roy, roz, rdx, rdy, rdz, rng
+
+    def kernel_ms(pi_r, pj_r, sh_r, sl_r, ih_r, il_r,
+                  sr_r, sg2_r, sb_r, sa_r, har_r, hag_r, hab_r,
+                  hnx_r, hny_r, hnz_r, hits_r, osh_r, osl_r):
+        iplane = pi_r[:]
+        jplane = pj_r[:]
+        ih, il = ih_r[:], il_r[:]
+        zero = jnp.zeros(iplane.shape, jnp.float32)
+
+        def body(_, carry):
+            (sh, sl, sr, sg2, sb, sa, har, hag, hab, hnx, hny, hnz,
+             hits) = carry
+            rng = R.RngState(sh, sl, ih, il)
+            rox, roy, roz, rdx, rdy, rdz, rng = camera_ray(
+                iplane, jplane, rng)
+            lr, lg, lb, first_hit, aov, rng = trace_paths(
+                rox, roy, roz, rdx, rdy, rdz, rng)
+            # per-sample clamp + NaN scrub (yocto_trace.cpp:1471-1475)
+            fin = (jnp.isfinite(lr) & jnp.isfinite(lg) & jnp.isfinite(lb))
+            lr = jnp.where(fin, lr, 0.0)
+            lg = jnp.where(fin, lg, 0.0)
+            lb = jnp.where(fin, lb, 0.0)
+            mx = jnp.maximum(lr, jnp.maximum(lg, lb))
+            scl = jnp.where(mx > clamp,
+                            clamp / jnp.maximum(mx, 1e-20), 1.0)
+            lr, lg, lb = lr * scl, lg * scl, lb * scl
+            hitf = first_hit
+            if accum_misses:
+                use = jnp.ones_like(lr, jnp.bool_)
+                a_r = jnp.where(hitf, aov["ar"], 1.0)
+                a_g = jnp.where(hitf, aov["ag"], 1.0)
+                a_b = jnp.where(hitf, aov["ab"], 1.0)
+                hinc = jnp.ones_like(lr)
+            else:
+                use = hitf
+                a_r = jnp.where(hitf, aov["ar"], 0.0)
+                a_g = jnp.where(hitf, aov["ag"], 0.0)
+                a_b = jnp.where(hitf, aov["ab"], 0.0)
+                hinc = jnp.where(hitf, 1.0, 0.0)
+            n_x = jnp.where(hitf, aov["nx"], -rdx)
+            n_y = jnp.where(hitf, aov["ny"], -rdy)
+            n_z = jnp.where(hitf, aov["nz"], -rdz)
+            sr = sr + jnp.where(use, lr, 0.0)
+            sg2 = sg2 + jnp.where(use, lg, 0.0)
+            sb = sb + jnp.where(use, lb, 0.0)
+            sa = sa + jnp.where(use, 1.0, 0.0)
+            har, hag, hab = har + a_r, hag + a_g, hab + a_b
+            hnx, hny, hnz = hnx + n_x, hny + n_y, hnz + n_z
+            hits = hits + hinc
+            return (rng.state_hi, rng.state_lo, sr, sg2, sb, sa,
+                    har, hag, hab, hnx, hny, hnz, hits)
+
+        init = (sh_r[:], sl_r[:], zero, zero, zero, zero, zero, zero,
+                zero, zero, zero, zero, zero)
+        out = jax.lax.fori_loop(0, spp_inner, body, init)
+        (sh, sl, sr, sg2, sb, sa, har, hag, hab, hnx, hny, hnz,
+         hits) = out
+        sr_r[:] = sr
+        sg2_r[:] = sg2
+        sb_r[:] = sb
+        sa_r[:] = sa
+        har_r[:] = har
+        hag_r[:] = hag
+        hab_r[:] = hab
+        hnx_r[:] = hnx
+        hny_r[:] = hny
+        hnz_r[:] = hnz
+        hits_r[:] = hits
+        osh_r[:] = sh
+        osl_r[:] = sl
+
+    block_ms = ROWS * LANE
+
+    @jax.jit
+    def step(pi, pj, rngs):
+        n = pi.shape[0]
+        npad = max(block_ms, ((n + block_ms - 1) // block_ms) * block_ms)
+
+        def prep(x, dtype=jnp.float32):
+            x = x.astype(dtype) if x.dtype != dtype else x
+            if npad != n:
+                x = jnp.pad(x, (0, npad - n))
+            return x.reshape(npad // LANE, LANE)
+
+        ins = [prep(pi), prep(pj),
+               prep(rngs.state_hi, jnp.uint32),
+               prep(rngs.state_lo, jnp.uint32),
+               prep(rngs.inc_hi, jnp.uint32),
+               prep(rngs.inc_lo, jnp.uint32)]
+        srows = npad // LANE
+        grid = srows // ROWS
+        bspec = pl.BlockSpec((ROWS, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        f32 = jax.ShapeDtypeStruct((srows, LANE), jnp.float32)
+        u32 = jax.ShapeDtypeStruct((srows, LANE), jnp.uint32)
+        outs = pl.pallas_call(
+            kernel_ms,
+            grid=(grid,),
+            in_specs=[bspec] * 6,
+            out_specs=(bspec,) * 13,
+            out_shape=(f32,) * 11 + (u32, u32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*ins)
+        (sr, sg2, sb, sa, har, hag, hab, hnx, hny, hnz, hits,
+         osh, osl) = outs
+        flat = lambda x: x.reshape(-1)[:n]
+        img_sum = jnp.stack([flat(sr), flat(sg2), flat(sb), flat(sa)],
+                            axis=-1)
+        albedo_sum = jnp.stack([flat(har), flat(hag), flat(hab)], axis=-1)
+        normal_sum = jnp.stack([flat(hnx), flat(hny), flat(hnz)], axis=-1)
+        hits_sum = flat(hits)
+        rngs_out = R.RngState(flat(osh), flat(osl), rngs.inc_hi,
+                              rngs.inc_lo)
+        return img_sum, albedo_sum, normal_sum, hits_sum, rngs_out
+
+    return step

@@ -332,6 +332,46 @@ class Renderer:
         meta, width, height = self.lights_meta, self.width, self.height
         features = self.features
         spp = max(1, params.spp_batch)
+        # exact-RNG multi-spp megakernel: k full samples per pixel in ONE
+        # launch with the per-pixel PCG32 streams chained in-kernel, so
+        # the result equals k sequential exact samples (float-precision).
+        # Removes the per-sample host->device enqueue (~1 ms here) from
+        # the throughput path.
+        self._pallas_ms = None
+        if (spp > 1 and params.exact_rng and mode == "dense" and on_tpu):
+            from .pallas_path import (make_pallas_path_sampler,
+                                      supports_pallas_path)
+            if supports_pallas_path(scene, self.features, params):
+                self._pallas_ms = make_pallas_path_sampler(
+                    scene, params, spp_inner=spp)
+        if self._pallas_ms is not None:
+            ms = self._pallas_ms
+            jj, ii = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                                  jnp.arange(width, dtype=jnp.float32),
+                                  indexing="ij")
+            pi = ii.reshape(-1)
+            pj = jj.reshape(-1)
+
+            @jax.jit
+            def step(flat, lights, bvh, state):
+                img_sum, alb_sum, nrm_sum, hits_sum, rngs = ms(
+                    pi, pj, state.rng)
+                shape2 = (height, width)
+                w = spp / (state.samples.astype(jnp.float32) + spp)
+                img_avg = img_sum.reshape(shape2 + (4,)) / spp
+                alb_avg = alb_sum.reshape(shape2 + (3,)) / spp
+                nrm_avg = nrm_sum.reshape(shape2 + (3,)) / spp
+                return TraceState(
+                    image=state.image + (img_avg - state.image) * w,
+                    albedo=state.albedo + (alb_avg - state.albedo) * w,
+                    normal=state.normal + (nrm_avg - state.normal) * w,
+                    hits=state.hits + hits_sum.reshape(shape2).astype(
+                        jnp.int32),
+                    rng=rngs, samples=state.samples + spp)
+
+            self._step = step
+            self.spp_batch = spp
+            return
         if spp > 1 or not params.exact_rng:
             seq_hi, seq_lo = R.make_pixel_seqs(width * height)
 

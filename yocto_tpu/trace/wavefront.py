@@ -969,6 +969,63 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         base = dataclasses.replace(params, sampler=_ST.path)
         super().__init__(scene, base)
         self.params = params
+        self._nee = self._build_nee_emissive()
+
+    def _build_nee_emissive(self):
+        """Two-pass NEE connection (yocto_bvh.cpp:540-552 find_any role):
+        closest hit restricted to EMISSIVE instances (a tiny dense sweep)
+        plus an any-hit shadow query with tmax at that hit — instead of a
+        full closest-hit over the whole scene. Returns
+        nee(flat, position, inc, tmax) -> SceneIntersection in the
+        original instance id space, or None when inapplicable (no
+        cluster intersector to serve any_hit, no/too-many emissive
+        candidates, or non-surface emissive geometry)."""
+        import copy
+
+        if self._cluster is None:
+            return None
+        scene = self.scene_host
+        em_ids = []
+        ncand = 0
+        for i, inst in enumerate(scene.instances):
+            mat = scene.materials[inst.material]
+            if not np.any(np.asarray(mat.emission) != 0):
+                continue
+            shp = scene.shapes[inst.shape]
+            if len(shp.lines) or len(shp.points):
+                return None
+            ne = max(len(shp.triangles), len(shp.quads))
+            if ne == 0:
+                continue
+            em_ids.append(i)
+            ncand += ne
+        if not em_ids or ncand > 4096:
+            return None
+        sub = copy.copy(scene)
+        sub.instances = [scene.instances[i] for i in em_ids]
+        from .compile import compile_scene
+        subflat = compile_scene(sub)
+        kinds = tuple(k for k in self.features.kinds if k in (2, 3))
+        if jax.default_backend() != "cpu":
+            from .pallas_intersect import (
+                make_pallas_bruteforce_intersector,
+                make_pallas_small_intersector)
+            sub_isect = make_pallas_small_intersector(sub)
+            if sub_isect is None:
+                sub_isect = make_pallas_bruteforce_intersector(
+                    sub, kinds=kinds)
+        else:
+            sub_isect = functools.partial(intersect_scene_bruteforce,
+                                          kinds=kinds)
+        inst_map = jnp.asarray(np.asarray(em_ids, np.int32))
+
+        def nee(flat, position, inc, tmax):
+            del flat  # candidates baked from the emissive sub-scene
+            s = sub_isect(subflat, position, inc, tmax=tmax)
+            return s._replace(instance=jnp.where(
+                s.hit, inst_map[jnp.maximum(s.instance, 0)], -1))
+
+        return nee
 
     # -- shade stages ----------------------------------------------------
 
@@ -1138,8 +1195,13 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         @jax.jit
         def shade_mid(flat, lights, lanes: PathmisLanes, flags, position,
                       inc_l, hit_c, inst_c, elem_c, uv_c, inst_g, elem_g,
-                      uv_g, hit):
-            """Light-strategy MIS contribution + BSDF-strategy direction."""
+                      uv_g, hit, blocked):
+            """Light-strategy MIS contribution + BSDF-strategy direction.
+
+            `blocked` (two-pass NEE): lanes whose connection ray hits a
+            non-emissive occluder before the emissive hit — their light
+            contribution (surface OR environment) is zero. The one-pass
+            path passes all-False (the closest hit already encodes it)."""
             alive, shade_m, op_skip, delta, nd, in_volume = [
                 flags[:, i] != 0 for i in range(6)]
             inst, _, normal, material, outgoing = surface(
@@ -1159,8 +1221,9 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 safe_lpdf = jnp.where(lpdf_l == 0.0, 1.0, lpdf_l)
                 misw_l = mis_heuristic(lpdf_l, bpdf_l) / safe_lpdf
                 misw_l = jnp.where(lpdf_l == 0.0, 0.0, misw_l)
-                em_l = emission_at(flat, inc_l, hit_c, inst_c, elem_c,
-                                   uv_c)
+                em_l = jnp.where(blocked[:, None], 0.0,
+                                 emission_at(flat, inc_l, hit_c, inst_c,
+                                             elem_c, uv_c))
                 ok_l = l_live & ~M.is_zero3(f_l) & (misw_l != 0.0)
                 radiance = jnp.where(
                     ok_l[:, None],
@@ -1443,11 +1506,12 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         def shade_post(flat, lights, lanes: PathmisLanes, flags, position,
                        inc_d, hit_c, inst_c, elem_c, uv_c, inst_g, elem_g,
                        uv_g, hit, tdist, img, albedo_img, normal_img,
-                       hits_img, albedo, normal_aov, hit_aov,
+                       hits_img, albedo, normal_aov, hit_aov, blocked,
                        first_bounce):
             """NEE contribution (plain 1/pdf) + 50/50 light/BSDF
             continuation with the combined pdf (pathtrace.
-            make_pathdirect_sampler body, after the main intersection)."""
+            make_pathdirect_sampler body, after the main intersection).
+            `blocked` as in pathmis shade_mid (two-pass NEE)."""
             alive, shade_m, op_skip, delta, nd, in_volume = [
                 flags[:, i] != 0 for i in range(6)]
             inst, _, normal, material, outgoing = surface(
@@ -1463,8 +1527,9 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 f_d = B.eval_bsdfcos(material, normal, outgoing, inc_d,
                                      types=types)
                 ok_d = nd & ~M.is_zero3(f_d) & (pdf_d > 0.0)
-                em_d = emission_at(flat, inc_d, hit_c, inst_c, elem_c,
-                                   uv_c)
+                em_d = jnp.where(blocked[:, None], 0.0,
+                                 emission_at(flat, inc_d, hit_c, inst_c,
+                                             elem_c, uv_c))
                 safe_pd = jnp.where(pdf_d == 0.0, 1.0, pdf_d)[:, None]
                 radiance = jnp.where(
                     ok_d[:, None],
@@ -1681,6 +1746,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             return self._jits[key]
         isect = self._intersect_raw()
         shade_pre, shade_mid, shade_post = self._mis_stages()
+        nee = self._nee
+        cluster = self._cluster
 
         @functools.partial(jax.jit, static_argnames=("first_bounce",))
         def bounce(flat, lights, lanes, img, albedo, normal, hits,
@@ -1693,11 +1760,26 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
             (lanes, flags, position, inc_l, alb, nrm, hit_aov,
              tdist) = shade_pre(flat, lights, lanes, hit, inst_g, elem_l,
                                 uv_g, dist)
-            ic = isect(flat, position, inc_l, tmax=tmax)
+            if nee is None:
+                ic = isect(flat, position, inc_l, tmax=tmax)
+                hit_c, inst_c, elem_c, uv_c = (ic.hit, ic.instance,
+                                               ic.element, ic.uv)
+                blocked = jnp.zeros_like(hit_c)
+            else:
+                # two-pass NEE: tiny emissive-closest sweep + any-hit
+                # shadow query bounded at the emissive hit (find_any,
+                # yocto_bvh.cpp:540-552) replaces a full scene sweep
+                em = nee(flat, position, inc_l, tmax=tmax)
+                shadow_tmax = jnp.where(
+                    em.hit, em.distance * (1.0 - 1e-3), tmax)
+                blocked = cluster.any_hit(position, inc_l,
+                                          tmax=shadow_tmax)
+                hit_c = em.hit & ~blocked
+                inst_c, elem_c, uv_c = em.instance, em.element, em.uv
             lanes, inc_b = shade_mid(
                 flat, lights, lanes, flags, position, inc_l,
-                ic.hit, ic.instance, ic.element, ic.uv,
-                inst_g, elem_l, uv_g, hit)
+                hit_c, inst_c, elem_c, uv_c,
+                inst_g, elem_l, uv_g, hit, blocked)
             ib = isect(flat, position, inc_b, tmax=tmax)
             lanes, img, albedo, normal, hits = shade_post(
                 flat, lights, lanes, flags, position, inc_b,
@@ -1777,7 +1859,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
                 flat, position, inc_l)
             lanes, inc_b = shade_mid(
                 flat, lights, lanes, flags, position, inc_l,
-                hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit)
+                hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit,
+                jnp.zeros_like(hit_c))
             hit_b, inst_b, elem_b, uv_b, _ = self._intersect_any(
                 flat, position, inc_b)
             lanes, img, albedo, normal, hits = shade_post(
@@ -1827,6 +1910,9 @@ class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
         shade_pre = self._mis_stages()[0]
         shade_post = self._direct_stages()
 
+        nee = self._nee
+        cluster = self._cluster
+
         @functools.partial(jax.jit, static_argnames=("first_bounce",))
         def bounce(flat, lights, lanes, img, albedo, normal, hits,
                    first_bounce):
@@ -1837,13 +1923,25 @@ class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
             (lanes, flags, position, inc_d, alb, nrm, hit_aov,
              tdist) = shade_pre(flat, lights, lanes, hit, inst_g, elem_l,
                                 uv_g, dist)
-            ic = isect(flat, position, inc_d, tmax=tmax)
+            if nee is None:
+                ic = isect(flat, position, inc_d, tmax=tmax)
+                hit_c, inst_c, elem_c, uv_c = (ic.hit, ic.instance,
+                                               ic.element, ic.uv)
+                blocked = jnp.zeros_like(hit_c)
+            else:
+                em = nee(flat, position, inc_d, tmax=tmax)
+                shadow_tmax = jnp.where(
+                    em.hit, em.distance * (1.0 - 1e-3), tmax)
+                blocked = cluster.any_hit(position, inc_d,
+                                          tmax=shadow_tmax)
+                hit_c = em.hit & ~blocked
+                inst_c, elem_c, uv_c = em.instance, em.element, em.uv
             lanes, img, albedo, normal, hits = shade_post(
                 flat, lights, lanes, flags, position, inc_d,
-                ic.hit, ic.instance, ic.element, ic.uv,
+                hit_c, inst_c, elem_c, uv_c,
                 inst_g, elem_l, uv_g, hit,
                 tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
-                first_bounce=first_bounce)
+                blocked, first_bounce=first_bounce)
             nlive = jnp.sum((lanes.pix >= 0).astype(jnp.int32))
             return lanes, img, albedo, normal, hits, nlive
 
@@ -1885,7 +1983,7 @@ class WavefrontPathdirectRenderer(WavefrontPathmisRenderer):
                 flat, lights, lanes, flags, position, inc_d,
                 hit_c, inst_c, elem_c, uv_c, inst_g, elem_l, uv_g, hit,
                 tdist, img, albedo, normal, hits, alb, nrm, hit_aov,
-                first_bounce=(it == 0))
+                jnp.zeros_like(hit_c), first_bounce=(it == 0))
             if it < 1:
                 continue  # no deaths expected before the first shade
             nlive = int(jnp.sum(lanes.pix >= 0))
