@@ -145,9 +145,12 @@ def bench_features1():
     from yocto_tpu.trace.params import SamplerType, TraceParams
     from yocto_tpu.trace.renderer import make_renderer
 
+    # spp_batch 16: clusters/tile falls with ray density (BASELINE.md
+    # round-4 notes: 18.3 -> 8.7 per 4x), so bigger batches cut sweep
+    # work per ray; 16 measured best cold-compile-count/throughput
     scene = load_scene(FEATURES1)
     params = TraceParams(resolution=320, samples=64, bounces=8,
-                         sampler=SamplerType.path, spp_batch=8)
+                         sampler=SamplerType.path, spp_batch=16)
     return _bench_renderer(make_renderer(scene, params), iters=2)
 
 

@@ -646,9 +646,11 @@ class ClusterIntersector:
     def __init__(self, scene_host: SceneData, kinds=None, interpret=None,
                  cluster: int = CLUSTER, max_slots: int = 192,
                  highquality: bool = False, sort_rays: bool = True,
-                 ray_tile: int = RAY_TILE, merge_area_ratio=None):
+                 ray_tile: int = RAY_TILE, merge_area_ratio=None,
+                 use_topk: bool = False):
         self.sort_rays = sort_rays
         self.ray_tile = ray_tile
+        self.use_topk = use_topk
         built = build_cluster_tables(scene_host, cluster, highquality,
                                      merge_area_ratio)
         if built is None:
@@ -690,12 +692,19 @@ class ClusterIntersector:
             maxent = jnp.maximum(
                 maxent, jnp.where(m, t0, -M.flt_max).max(1))
         tile_entry = jnp.concatenate(entries, axis=1)       # [T, C]
-        # sort hit clusters by entry t; misses (flt_max) sort last
-        cid = jax.lax.broadcasted_iota(jnp.int32, (ntiles, C), 1)
-        entry_s, cid_s = jax.lax.sort(
-            (tile_entry, cid), dimension=1, num_keys=1)
-        entry_s = entry_s[:, :self.max_slots]
-        cid_s = cid_s[:, :self.max_slots]
+        k = min(self.max_slots, C)
+        if self.use_topk:
+            # only the nearest max_slots clusters matter; top_k beats a
+            # full [T, C] sort once C >> max_slots
+            neg, cid_s = jax.lax.top_k(-tile_entry, k)
+            entry_s = -neg
+        else:
+            # sort hit clusters by entry t; misses (flt_max) sort last
+            cid = jax.lax.broadcasted_iota(jnp.int32, (ntiles, C), 1)
+            entry_s, cid_s = jax.lax.sort(
+                (tile_entry, cid), dimension=1, num_keys=1)
+            entry_s = entry_s[:, :k]
+            cid_s = cid_s[:, :k]
         clist = jnp.where(entry_s < M.flt_max, cid_s, -1).astype(jnp.int32)
         counts = (tile_entry < M.flt_max).sum(1)
         return clist, entry_s, maxent, counts
