@@ -91,15 +91,19 @@ def bench_cornell():
     from yocto_tpu.trace.params import SamplerType, TraceParams
     from yocto_tpu.trace.renderer import Renderer
 
-    # 128 timed dispatches: the megakernel step is ~0.5 ms on device but
-    # a host->device enqueue through this tunnel costs ~1 ms, so short
-    # runs measure pipeline-fill, not throughput (r3's "regression" to
-    # 24 Mpaths/s was 16 iters of exactly that; 128 iters measures the
-    # steady state a real 512-spp render runs at)
+    # The megakernel step is ~0.5 ms/spp on device but a host->device
+    # enqueue through this tunnel costs ~1 ms, so one-sample dispatches
+    # measure the enqueue wall, not the kernel (r3's "regression" to
+    # 24 Mpaths/s was 16 such iters). spp_batch=8 engages the
+    # multi-sample megakernel (device-side sample loop, camera rays
+    # in-kernel, exact chained PCG32 streams): 8 full samples per
+    # launch amortize the enqueue away.
     res = int(os.environ.get("BENCH_RES", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "128"))
-    params = TraceParams(resolution=res, samples=iters + 2, bounces=8,
-                         sampler=SamplerType.path)
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    spp = int(os.environ.get("BENCH_SPP", "8"))
+    params = TraceParams(resolution=res, samples=spp * (iters + 2),
+                         bounces=8, sampler=SamplerType.path,
+                         spp_batch=spp)
     return _bench_renderer(Renderer(make_cornellbox(), params), iters,
                            warmup=2)
 

@@ -135,3 +135,44 @@ def test_wavefront_fused_bounce_on_chip(pbr_scene):
                                   np.asarray(lanes_s.pix))
     assert int(nlive) > 0
     assert np.isfinite(np.asarray(lanes2.weight)).all()
+
+
+def test_megakernel_multisample_on_chip():
+    """spp_inner megakernel == sequential one-sample runs on the chip
+    (same chained streams; rare grazing-hit ulp flips tolerated)."""
+    import jax.numpy as jnp
+    from yocto_tpu.models.examples import make_cornellbox
+    from yocto_tpu.trace.pallas_path import make_pallas_path_sampler
+    from yocto_tpu.trace.params import SamplerType, TraceParams
+    from yocto_tpu.trace.renderer import (Renderer, make_trace_state,
+                                          sample_camera_rays)
+
+    scene = make_cornellbox()
+    spp = 4
+    params = TraceParams(resolution=32, samples=spp, bounces=8,
+                         sampler=SamplerType.path)
+    r = Renderer(scene, params)
+    run = make_pallas_path_sampler(scene, params)
+    state = make_trace_state(scene, params)
+    rngs = state.rng
+    img = np.zeros((32 * 32, 3), np.float32)
+    for s in range(spp):
+        ro, rd, rngs = sample_camera_rays(r.flat, 0, 32, 32, rngs, False)
+        radiance, hit, alb, nrm, rngs = run(ro, rd, rngs)
+        rad = np.nan_to_num(np.asarray(radiance), nan=0.0)
+        mx = rad.max(-1)
+        scale = np.where(mx > params.clamp,
+                         params.clamp / np.maximum(mx, 1e-20), 1.0)
+        rad = np.where(np.asarray(hit)[:, None], rad * scale[:, None], 0.0)
+        img += rad
+
+    step = make_pallas_path_sampler(scene, params, spp_inner=spp)
+    jj, ii = jnp.meshgrid(jnp.arange(32, dtype=jnp.float32),
+                          jnp.arange(32, dtype=jnp.float32),
+                          indexing="ij")
+    img_sum, *_rest, rngs_ms = step(ii.reshape(-1), jj.reshape(-1),
+                                    state.rng)
+    d = np.abs(np.asarray(img_sum)[:, :3] - img)
+    assert d.mean() < 1e-3 and (d.max(-1) > 1e-3).mean() < 0.005
+    same = (np.asarray(rngs_ms.state_lo) == np.asarray(rngs.state_lo))
+    assert same.mean() > 0.995
