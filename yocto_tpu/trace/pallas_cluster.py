@@ -828,7 +828,8 @@ def make_cluster_intersector(scene_host: SceneData, kinds=None,
                              highquality: bool = False,
                              sort_rays: bool = True,
                              ray_tile: int = RAY_TILE,
-                             merge_area_ratio=None):
+                             merge_area_ratio=None,
+                             use_topk: bool = False):
     """Factory mirroring make_pallas_bruteforce_intersector's signature.
     Returns None for scenes small enough that the dense sweep wins."""
     ncands = 0
@@ -844,6 +845,7 @@ def make_cluster_intersector(scene_host: SceneData, kinds=None,
                                   max_slots=max_slots,
                                   highquality=highquality,
                                   sort_rays=sort_rays, ray_tile=ray_tile,
-                                  merge_area_ratio=merge_area_ratio)
+                                  merge_area_ratio=merge_area_ratio,
+                                  use_topk=use_topk)
     except ValueError:
         return None
