@@ -125,11 +125,18 @@ def test_pathmis_two_pass_nee_matches_one_pass():
     from yocto_tpu.models.examples import make_cornellbox_pbr
     from yocto_tpu.trace.wavefront import WavefrontPathmisRenderer
 
+    import yocto_tpu.trace.wavefront as WF
+
     scene = make_cornellbox_pbr()
     params = TraceParams(resolution=24, samples=1, bounces=3,
                          sampler=SamplerType.pathmis, spp_batch=1,
                          intersector="cluster")
-    r2 = WavefrontPathmisRenderer(scene, params)
+    orig = WF.NEE_TWO_PASS_MIN_CLUSTERS
+    WF.NEE_TWO_PASS_MIN_CLUSTERS = 0  # force it on for the small scene
+    try:
+        r2 = WavefrontPathmisRenderer(scene, params)
+    finally:
+        WF.NEE_TWO_PASS_MIN_CLUSTERS = orig
     assert r2._cluster is not None and r2._nee is not None, \
         "pbr cornell must engage the cluster intersector + two-pass NEE"
     img2, *_ = r2.render_sample(r2.flat, r2.lights, 0)

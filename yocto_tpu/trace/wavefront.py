@@ -65,6 +65,11 @@ TAIL_STEPS = 4           # bounces fused per dispatch at the minimum bucket
 
 
 VOLUME_STACK_CAP = 4  # matches the CUDA reference's fixed svector
+# two-pass NEE pays an extra cull+sort pipeline per connection; below
+# this cluster count a full ordered closest-hit is already as cheap as
+# the any-hit query (config2's 21 clusters measured 192k -> 110k
+# pathmis paths/s with it ON; big corpus scenes are where it wins)
+NEE_TWO_PASS_MIN_CLUSTERS = 64
 
 
 class Lanes(NamedTuple):
@@ -983,6 +988,8 @@ class WavefrontPathmisRenderer(WavefrontRenderer):
         import copy
 
         if self._cluster is None:
+            return None
+        if self._cluster.n_clusters < NEE_TWO_PASS_MIN_CLUSTERS:
             return None
         scene = self.scene_host
         em_ids = []
